@@ -1,0 +1,184 @@
+"""Wideband channelizers — the framework's primary hot kernels.
+
+Replaces the reference's per-channel GNU Radio processes:
+
+- ``XlatBank``: N channel *slots* extracted from one wideband stream by a
+  bank of frequency-translating decimating FIRs evaluated as one conv →
+  matmul on the MXU. This is the TPU-native form of "xlat" mode
+  (reference rc_frontend/receiver.py:282-341 + rc_frontend/channel.py:29-38)
+  where the reference spawns one ``freq_xlating_fir_filter_ccc`` flowgraph
+  per requested channel. Slot offsets are runtime data, so channel
+  create/release/retune never recompiles (SURVEY.md §7 "slot allocation").
+
+- ``PfbChannelizer``: critically-sampled M-channel polyphase FFT
+  channelizer — "pfb" mode (reference rc_frontend/receiver.py:242-261,
+  ``pfb.channelizer_ccf``). Windowing is a dense einsum (MXU), followed by
+  a batched FFT across the channel axis.
+
+Both are ``(state, block) -> (state, channels)`` streaming ops with
+static shapes; see ops/pallas_channelizer.py for the fused Pallas kernel
+variant of XlatBank.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radiocapture_tpu.ops import taps as _taps
+from radiocapture_tpu.ops.fir import _phase_step_u32, _u32_to_angle
+
+
+class XlatBankState(NamedTuple):
+    history: jax.Array  # [ntaps-1] complex64 wideband history
+    phase: jax.Array    # [num_slots] uint32 mixer phase (cycles * 2^32)
+
+
+class XlatBank:
+    """A bank of ``num_slots`` freq-xlating decimating FIR channels.
+
+    Slot frequencies are passed per-block as ``offsets_norm`` (cycles per
+    input sample, relative to the wideband center); inactive slots simply
+    carry a don't-care offset and are masked downstream. All slots share
+    taps and decimation — matching the reference, where every channel is
+    12.5 kHz at channel_rate×2 (p25_control_demod.py:81,106).
+    """
+
+    def __init__(self, num_slots: int, decim: int, taps: np.ndarray):
+        if len(taps) % 2 == 0:
+            taps = np.concatenate([taps, np.zeros(1, taps.dtype)])
+        self.num_slots = num_slots
+        self.decim = decim
+        self.taps = jnp.asarray(taps, jnp.float32)
+        self.ntaps = len(taps)
+
+    @classmethod
+    def for_rates(cls, num_slots: int, samp_rate: float, channel_rate: float,
+                  out_per_channel_rate: float | None = None) -> "XlatBank":
+        """Build a bank delivering IQ at 2x channel_rate like the reference
+        (25 kS/s for 12.5 kHz channels)."""
+        out_rate = out_per_channel_rate or 2.0 * channel_rate
+        decim = int(round(samp_rate / out_rate))
+        taps = _taps.low_pass_2(1.0, samp_rate, channel_rate / 2.0,
+                                0.25 * channel_rate, 60.0)
+        return cls(num_slots, decim, taps)
+
+    def init(self) -> XlatBankState:
+        return XlatBankState(
+            history=jnp.zeros((self.ntaps - 1,), jnp.complex64),
+            phase=jnp.zeros((self.num_slots,), jnp.uint32),
+        )
+
+    def __call__(self, state: XlatBankState, x: jax.Array,
+                 offsets_norm: jax.Array
+                 ) -> tuple[XlatBankState, jax.Array]:
+        """Extract all slots from one block.
+
+        x: [block] complex64 wideband, block % decim == 0
+        offsets_norm: [num_slots] float32 cycles/sample
+        returns channels [num_slots, block // decim] complex64
+        """
+        k = self.ntaps
+        d = self.decim
+        c = self.num_slots
+        kk = jnp.arange(k, dtype=jnp.float32)
+        # Per-slot modulated taps g[c,k] = h[k] e^{j 2π f_c k}, reversed for
+        # correlation-form conv.
+        ang = (2.0 * jnp.pi) * offsets_norm[:, None] * kk[None, :]
+        g = self.taps[None, :] * jnp.exp(1j * ang)      # [C, K]
+        grev = g[:, ::-1]
+        # One real conv with 2 input features (re/im) and 2C output features;
+        # XLA lowers this to an MXU matmul over [n_frames, K] x [K, 2C].
+        kern = jnp.concatenate([
+            jnp.stack([grev.real, -grev.imag], axis=1),   # real part rows
+            jnp.stack([grev.imag, grev.real], axis=1),    # imag part rows
+        ], axis=0)                                        # [2C, 2, K]
+        z = jnp.concatenate([state.history, x])
+        zr = jnp.stack([z.real, z.imag])[None]            # [1, 2, T+K-1]
+        out = jax.lax.conv_general_dilated(
+            zr.astype(jnp.float32), kern.astype(jnp.float32),
+            window_strides=(d,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[0]                                              # [2C, N]
+        y = (out[:c] + 1j * out[c:]).astype(jnp.complex64)
+        n_out = y.shape[-1]
+        # Per-slot mixer phase ramp, exact uint32 fixed-point (see
+        # ops.fir._phase_step_u32): bit-exact across block splits.
+        step = _phase_step_u32(offsets_norm, d)           # [C] uint32
+        ramp = (state.phase[:, None]
+                + step[:, None] * jnp.arange(n_out, dtype=jnp.uint32)[None, :])
+        y = y * jnp.exp(1j * _u32_to_angle(ramp))
+        new_phase = state.phase + step * jnp.uint32(n_out)
+        new_hist = z[z.shape[0] - (k - 1):]
+        return XlatBankState(history=new_hist, phase=new_phase), y
+
+
+class PfbState(NamedTuple):
+    history: jax.Array  # [(P-1)*M] complex64
+
+
+class PfbChannelizer:
+    """Critically-sampled M-channel polyphase FFT channelizer.
+
+    Channel ``c`` is centered at ``+c·fs/M`` (FFT bin ordering; c > M/2
+    aliases to negative offsets), delivered at ``fs/M`` — the same
+    contract as ``pfb.channelizer_ccf`` with oversample 1.0 (reference
+    rc_frontend/receiver.py:249-261, bins of 400 kS/s).
+    """
+
+    def __init__(self, num_channels: int, taps: np.ndarray):
+        m = num_channels
+        pad = (-len(taps)) % m
+        if pad:
+            taps = np.concatenate([taps, np.zeros(pad, taps.dtype)])
+        self.num_channels = m
+        self.ntaps = len(taps)
+        self.p = self.ntaps // m
+        hp = np.asarray(taps, np.float32).reshape(self.p, m).T  # [M, P]
+        # Branch m of the analysis filter sees x[nM - m - pM]; after the
+        # row-reshape trick the branch index arrives reversed, so store the
+        # reversed-row polyphase matrix (see __call__).
+        self.hp2 = jnp.asarray(hp[::-1])  # [M, P] rows m' = M-1-m
+
+    @classmethod
+    def for_rates(cls, samp_rate: float, num_channels: int,
+                  atten_db: float = 60.0) -> "PfbChannelizer":
+        bin_bw = samp_rate / num_channels
+        taps = _taps.optimal_low_pass(1.0, samp_rate, 0.40 * bin_bw,
+                                      0.55 * bin_bw,
+                                      stopband_atten_db=atten_db)
+        return cls(num_channels, taps)
+
+    def init(self) -> PfbState:
+        return PfbState(history=jnp.zeros(
+            ((self.p - 1) * self.num_channels,), jnp.complex64))
+
+    def __call__(self, state: PfbState, x: jax.Array
+                 ) -> tuple[PfbState, jax.Array]:
+        """x: [block] with block % M == 0 → channels [M, block//M]."""
+        m = self.num_channels
+        p = self.p
+        n = x.shape[0] // m
+        z = jnp.concatenate([state.history, x])          # [(N+P-1)*M]
+        zr = z.reshape(n + p - 1, m)                     # rows of M samples
+        # W[t, q, :] = zr[t + P-1-q, :]; v'[t, m'] = sum_q hp2[m', q] W
+        w = jnp.stack([zr[p - 1 - q: p - 1 - q + n] for q in range(p)],
+                      axis=1)                            # [N, P, M]
+        vp = jnp.einsum("tqm,mq->tm", w, self.hp2.astype(jnp.complex64))
+        v = vp[:, ::-1]                                  # undo branch flip
+        # Down-converting channel c by e^{-j2πc t/M} makes the branch
+        # combiner an IDFT: y[n,c] = Σ_m v[n,m] e^{+j2πcm/M}, plus a
+        # constant per-channel rotation from the K-1 group-delay offset.
+        y = jnp.fft.ifft(v, axis=1) * m                  # [N, M]
+        rot = jnp.exp((2j * jnp.pi / m)
+                      * jnp.arange(m, dtype=jnp.float32))
+        y = y * rot[None, :]
+        new_hist = z[z.shape[0] - (p - 1) * m:]
+        return PfbState(history=new_hist), y.T.astype(jnp.complex64)
+
+    def channel_offset_hz(self, c: int, samp_rate: float) -> float:
+        m = self.num_channels
+        return ((c + m // 2) % m - m // 2) * samp_rate / m

@@ -1,0 +1,113 @@
+"""Channelizer bank parity: xlat bank vs single-channel xlat, PFB tones."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from radiocapture_tpu.ops import fir as F
+from radiocapture_tpu.ops import taps as T
+from radiocapture_tpu.ops.channelizer import XlatBank, PfbChannelizer
+from radiocapture_tpu.testing import modulators as M
+
+
+def test_xlat_bank_matches_single_channel(rng):
+    fs = 2_400_000.0
+    bank = XlatBank.for_rates(num_slots=4, samp_rate=fs, channel_rate=12500.0)
+    x = (rng.standard_normal(bank.decim * 512)
+         + 1j * rng.standard_normal(bank.decim * 512)).astype(np.complex64)
+    offsets = np.array([0.05, -0.11, 0.2, 0.0], np.float32)
+
+    st = bank.init()
+    st, y = bank(st, jnp.asarray(x), jnp.asarray(offsets))
+    y = np.asarray(y)
+
+    for c in range(4):
+        sst = F.xlat_init(bank.ntaps)
+        _, yc = F.freq_xlating_fir(sst, jnp.asarray(x),
+                                   jnp.asarray(bank.taps),
+                                   jnp.float32(offsets[c]), bank.decim)
+        np.testing.assert_allclose(y[c], np.asarray(yc), atol=2e-3)
+
+
+def test_xlat_bank_extracts_tones():
+    fs = 2_400_000.0
+    bank = XlatBank.for_rates(num_slots=3, samp_rate=fs, channel_rate=12500.0)
+    n = bank.decim * 1024
+    wide = M.multi_channel(fs, [
+        (100_000.0, M.upsample_to(M.tone(25000.0, 2000.0, 30000), 25000, fs)),
+        (-400_000.0, M.upsample_to(M.tone(25000.0, -3000.0, 30000), 25000, fs)),
+    ], n)
+    offsets = np.array([100_000.0, -400_000.0, 700_000.0], np.float32) / fs
+
+    st = bank.init()
+    st, y = bank(st, jnp.asarray(wide), jnp.asarray(offsets))
+    y = np.asarray(y)[:, 100:]
+    fs_ch = fs / bank.decim
+
+    def est_freq(z):
+        d = np.angle(z[1:] * np.conj(z[:-1]))
+        return np.mean(d) * fs_ch / (2 * np.pi)
+
+    assert abs(est_freq(y[0]) - 2000.0) < 20.0
+    assert abs(est_freq(y[1]) + 3000.0) < 20.0
+    # Empty slot: only noise floor.
+    assert np.mean(np.abs(y[2])) < 0.02 * np.mean(np.abs(y[0]))
+
+
+def test_xlat_bank_block_split(rng):
+    fs = 1_000_000.0
+    bank = XlatBank.for_rates(num_slots=2, samp_rate=fs, channel_rate=12500.0)
+    x = (rng.standard_normal(bank.decim * 256)
+         + 1j * rng.standard_normal(bank.decim * 256)).astype(np.complex64)
+    offsets = jnp.asarray(np.array([0.07, -0.3], np.float32))
+
+    st = bank.init()
+    _, y_once = bank(st, jnp.asarray(x), offsets)
+    st = bank.init()
+    outs = []
+    for blk in x.reshape(4, -1):
+        st, yb = bank(st, jnp.asarray(blk), offsets)
+        outs.append(np.asarray(yb))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                               np.asarray(y_once), atol=2e-3)
+
+
+def test_pfb_channelizer_tone_routing():
+    fs = 1_600_000.0
+    m = 16  # 100 kHz bins
+    pfb = PfbChannelizer.for_rates(fs, m)
+    n = m * 4096
+    # Tones in channels 2 (at +200k+5k) and 13 (== -3 → -300k-8k).
+    wide = (M.tone(fs, 205_000.0, n) + M.tone(fs, -308_000.0, n)
+            ).astype(np.complex64)
+    st = pfb.init()
+    st, y = pfb(st, jnp.asarray(wide))
+    y = np.asarray(y)[:, 64:]
+    fs_ch = fs / m
+
+    def est_freq(z):
+        d = np.angle(z[1:] * np.conj(z[:-1]))
+        return np.mean(d) * fs_ch / (2 * np.pi)
+
+    assert abs(est_freq(y[2]) - 5000.0) < 100.0
+    assert abs(est_freq(y[13]) + 8000.0) < 100.0
+    # Leakage into a quiet channel is far below the tone channels.
+    p_sig = np.mean(np.abs(y[2]) ** 2)
+    p_quiet = np.mean(np.abs(y[7]) ** 2)
+    assert p_quiet < 1e-4 * p_sig
+
+
+def test_pfb_block_split(rng):
+    fs = 800_000.0
+    m = 8
+    pfb = PfbChannelizer.for_rates(fs, m)
+    x = (rng.standard_normal(m * 2048)
+         + 1j * rng.standard_normal(m * 2048)).astype(np.complex64)
+    st = pfb.init()
+    _, y_once = pfb(st, jnp.asarray(x))
+    st = pfb.init()
+    outs = []
+    for blk in x.reshape(4, -1):
+        st, yb = pfb(st, jnp.asarray(blk))
+        outs.append(np.asarray(yb))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                               np.asarray(y_once), atol=2e-4)
