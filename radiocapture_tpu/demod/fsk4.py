@@ -1,0 +1,160 @@
+"""C4FM / 4-FSK symbol recovery as a batched ``lax.scan`` kernel.
+
+TPU-native replacement for op25's ``fsk4_demod_ff`` (C++: joint fine-
+frequency + decision-directed symbol-timing tracking; used at
+p25_control_demod.py:135, logging_receiver.py:247). The per-sample
+sequential loop becomes a ``lax.scan`` whose carry holds the loop state,
+vmapped across channel slots so hundreds of control/voice channels track
+concurrently — the per-step work is a wide VPU op, not a scalar loop
+(SURVEY.md §7 hard part 1).
+
+Contract: input is the FM discriminator output scaled so the four C4FM
+deviation levels sit at -3,-1,+1,+3 (discriminator gain
+fs / (2π·600 Hz)), already boxcar-filtered over ~one symbol. Output is
+one float per symbol at the symbol rate plus a validity mask (a block of
+N samples yields a data-dependent symbol count; shapes stay static).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Loop gains, in the neighborhood op25's fsk4 uses (spread/fine-freq/
+# timing); retuned for the unit-level normalization here.
+K_FINE_FREQ = 0.002
+K_TIMING = 0.025
+HIST = 8          # interpolator span (samples)
+NPHASES = 128     # polyphase interpolation resolution
+
+_LEVELS = np.array([-3.0, -1.0, 1.0, 3.0], np.float32)
+
+
+def _interp_banks() -> tuple[np.ndarray, np.ndarray]:
+    """8-tap windowed-sinc interpolator + its derivative, NPHASES phases.
+
+    The symbol instant sits ``frac`` samples *before* the newest history
+    sample; with a fixed 3-sample group delay the interpolation position
+    is ``hist[4 - frac]`` — bank[p] evaluates position 4 - p/NPHASES, and
+    the derivative bank is taken w.r.t. +frac so the timing loop's
+    gradient sign matches the clock accumulator's direction.
+    """
+    val = np.zeros((NPHASES, HIST), np.float32)
+    dval = np.zeros((NPHASES, HIST), np.float32)
+    win = np.hamming(HIST)
+    eps = 1e-4
+
+    def sinc_taps(pos):
+        t = np.arange(HIST) - pos
+        h = np.sinc(t) * win
+        return h / np.sum(h)
+
+    for p in range(NPHASES):
+        frac = p / NPHASES
+        val[p] = sinc_taps(4.0 - frac)
+        dval[p] = (sinc_taps(4.0 - (frac + eps))
+                   - sinc_taps(4.0 - (frac - eps))) / (2 * eps)
+    return val, dval
+
+
+_VAL_BANK, _DVAL_BANK = _interp_banks()
+
+
+class Fsk4State(NamedTuple):
+    clock: jax.Array       # [...], symbol-phase accumulator in [0,1)
+    fine_freq: jax.Array   # [...], DC offset tracker (symbol units)
+    hist: jax.Array        # [..., HIST] recent input samples
+
+
+def fsk4_init(batch_shape=()) -> Fsk4State:
+    return Fsk4State(
+        clock=jnp.zeros(batch_shape, jnp.float32),
+        fine_freq=jnp.zeros(batch_shape, jnp.float32),
+        hist=jnp.zeros(batch_shape + (HIST,), jnp.float32),
+    )
+
+
+def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
+               symbol_rate: float
+               ) -> tuple[Fsk4State, tuple[jax.Array, jax.Array]]:
+    """Track and sample symbols from a block.
+
+    x: [..., n] discriminator samples (batch dims lead).
+    Returns (state, (symbols [..., n], valid [..., n] bool)) — at most one
+    symbol is emitted per input sample (sps > 1); invalid lanes are masked.
+    """
+    step = jnp.float32(symbol_rate / samp_rate)
+    val_bank = jnp.asarray(_VAL_BANK)
+    dval_bank = jnp.asarray(_DVAL_BANK)
+    levels = jnp.asarray(_LEVELS)
+
+    def scan_fn(carry: Fsk4State, xn):
+        clock, ff, hist = carry
+        hist = jnp.concatenate([hist[..., 1:], (xn - ff)[..., None]],
+                               axis=-1)
+        clock = clock + step
+        emit = clock >= 1.0
+        clockw = jnp.where(emit, clock - 1.0, clock)
+        # Fractional position of the symbol instant inside this sample
+        # period, in units of samples: the symbol fired clockw/step of a
+        # sample-period ago.
+        frac = jnp.clip(clockw / step, 0.0, 0.999)
+        phase = (frac * NPHASES).astype(jnp.int32)
+        taps = val_bank[phase]                  # [..., HIST]
+        dtaps = dval_bank[phase]
+        y = jnp.sum(hist * taps, axis=-1)
+        dy = jnp.sum(hist * dtaps, axis=-1)
+        # Decision-directed error vs nearest C4FM level.
+        dist = jnp.abs(y[..., None] - levels)
+        dec = levels[jnp.argmin(dist, axis=-1)]
+        err = y - dec
+        ff = jnp.where(emit, ff + K_FINE_FREQ * err, ff)
+        clockw = jnp.where(
+            emit, clockw - K_TIMING * jnp.tanh(err * dy), clockw)
+        return Fsk4State(clockw, ff, hist), (y, emit)
+
+    xs = jnp.moveaxis(x, -1, 0)  # scan over time
+    new_state, (ys, emits) = jax.lax.scan(scan_fn, state, xs)
+    return new_state, (jnp.moveaxis(ys, 0, -1), jnp.moveaxis(emits, 0, -1))
+
+
+def compact_symbols(symbols: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side: keep only emitted symbols (1-D or per-row list)."""
+    symbols = np.asarray(symbols)
+    valid = np.asarray(valid)
+    if symbols.ndim == 1:
+        return symbols[valid]
+    return [row[v] for row, v in zip(symbols, valid)]
+
+
+def slice_dibits(symbols: np.ndarray) -> np.ndarray:
+    """C4FM slicer, levels [-2, 0, 2] (op25 fsk4_slicer_fb contract,
+    p25_control_demod.py:167-168): +3→1, +1→0, -1→2, -3→3."""
+    s = np.asarray(symbols)
+    return np.where(s > 2.0, 1,
+                    np.where(s > 0.0, 0,
+                             np.where(s > -2.0, 2, 3))).astype(np.uint8)
+
+
+def slice_dibits_jax(symbols: jax.Array) -> jax.Array:
+    s = symbols
+    return jnp.where(s > 2.0, 1,
+                     jnp.where(s > 0.0, 0,
+                               jnp.where(s > -2.0, 2, 3))).astype(jnp.uint8)
+
+
+def boxcar_taps(samp_rate: float, symbol_rate: float) -> np.ndarray:
+    """Integrate-and-dump symbol filter.
+
+    The reference integrates over a full symbol (sps taps,
+    p25_control_demod.py:129-133); the TIA C4FM shaping filter's
+    x/sin(x) term pre-compensates an integrate-and-dump of T/2, so a
+    half-symbol boxcar is the matched choice — measured symbol RMS error
+    0.09 vs 0.30 for the full-symbol filter on shaped fixtures.
+    """
+    n = max(1, int(round(samp_rate / symbol_rate / 2.0)))
+    return np.full(n, 1.0 / n, np.float32)

