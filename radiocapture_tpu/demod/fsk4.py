@@ -79,18 +79,28 @@ def fsk4_init(batch_shape=()) -> Fsk4State:
 
 
 def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
-               symbol_rate: float
+               symbol_rate: float, levels: tuple = (-3.0, -1.0, 1.0, 3.0),
+               k_fine_freq: float = K_FINE_FREQ,
+               k_timing: float = K_TIMING,
                ) -> tuple[Fsk4State, tuple[jax.Array, jax.Array]]:
     """Track and sample symbols from a block.
 
     x: [..., n] discriminator samples (batch dims lead).
     Returns (state, (symbols [..., n], valid [..., n] bool)) — at most one
     symbol is emitted per input sample (sps > 1); invalid lanes are masked.
+
+    ``levels`` selects the decision alphabet: 4-level C4FM by default;
+    (-1, 1) turns this into the binary clock-recovery kernel the EDACS
+    (9600 Bd) and Motorola (3600 Bd) FSK paths share — the TPU-native
+    stand-in for GNU Radio's ``clock_recovery_mm_ff``
+    (edacs_control_demod.py:85, moto_control_demod.py:113).
     """
     step = jnp.float32(symbol_rate / samp_rate)
     val_bank = jnp.asarray(_VAL_BANK)
     dval_bank = jnp.asarray(_DVAL_BANK)
-    levels = jnp.asarray(_LEVELS)
+    levels = jnp.asarray(np.asarray(levels, np.float32))
+    K_FF = jnp.float32(k_fine_freq)
+    K_T = jnp.float32(k_timing)
 
     def scan_fn(carry: Fsk4State, xn):
         clock, ff, hist = carry
@@ -112,9 +122,9 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
         dist = jnp.abs(y[..., None] - levels)
         dec = levels[jnp.argmin(dist, axis=-1)]
         err = y - dec
-        ff = jnp.where(emit, ff + K_FINE_FREQ * err, ff)
+        ff = jnp.where(emit, ff + K_FF * err, ff)
         clockw = jnp.where(
-            emit, clockw - K_TIMING * jnp.tanh(err * dy), clockw)
+            emit, clockw - K_T * jnp.tanh(err * dy), clockw)
         return Fsk4State(clockw, ff, hist), (y, emit)
 
     xs = jnp.moveaxis(x, -1, 0)  # scan over time
