@@ -1,0 +1,80 @@
+"""Headline benchmark: aggregate wideband IQ channelized + demodulated
+per chip, end to end (xlat bank → FM discriminator → symbol filter →
+fsk4 tracking → slicer), on whatever single device JAX provides.
+
+Baseline: the reference's production envelope is 24 MS/s aggregate IQ per
+*host* (10 RTL-SDR dongles × 2.4 MS/s feeding one machine's GNU Radio
+processes; BASELINE.md, configs/config_denver_prod_den940radio1.py:21-114).
+``vs_baseline`` is measured MS/s per chip over that 24 MS/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from radiocapture_tpu.frontend.pipeline import ControlPipeline
+
+    dev = jax.devices()[0]
+
+    # 8 sources x 2.4 MS/s = 19.2 MS/s per step-call batch; 64 slots each
+    # (512 concurrent control/voice channels), 100 ms blocks.
+    n_sources = 8
+    samp_rate = 2.4e6
+    num_slots = 64
+    pipe = ControlPipeline.p25_c4fm(num_slots=num_slots,
+                                    samp_rate=samp_rate)
+    block = pipe.decim * 2500  # 100 ms at 25 kS/s channel rate
+
+    step = jax.jit(jax.vmap(pipe._step_impl), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    # IQ ships host->device as float32 re/im pairs (the transfer-friendly
+    # wire layout; SDR ingest would be int16/float32, never complex64).
+    x = jax.device_put(
+        rng.standard_normal((n_sources, block, 2)).astype(np.float32), dev)
+    offs = jnp.asarray(np.tile(
+        ((np.arange(num_slots) - num_slots // 2)
+         * 25e3 / samp_rate).astype(np.float32), (n_sources, 1)))
+    offs = jax.device_put(offs, dev)
+    state = jax.device_put(jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (n_sources,) + l.shape),
+        pipe.init()), dev)
+
+    def checksum(out):
+        # A device->host scalar fetch is the only reliable execution
+        # barrier on tunneled TPU transports (block_until_ready can
+        # return before queued work drains).
+        return float(jnp.sum(out[0][..., -1]).astype(jnp.float32))
+
+    # Warm up (compile) then measure steady-state streaming throughput.
+    state, out = step(state, x, offs)
+    jax.block_until_ready(out)
+    checksum(out)
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, out = step(state, x, offs)
+    jax.block_until_ready(out)
+    checksum(out)
+    dt = time.perf_counter() - t0
+
+    samples = n_iter * n_sources * block
+    ms_per_s = samples / dt / 1e6
+    baseline = 24.0  # MS/s aggregate per reference prod host
+    print(json.dumps({
+        "metric": "wideband_iq_channelized_demodulated_per_chip",
+        "value": round(ms_per_s, 3),
+        "unit": "MS/s",
+        "vs_baseline": round(ms_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Batched capture pipelines: wideband IQ block → per-slot symbol streams.
+
+This is the TPU-native inversion of the reference's process zoo (SURVEY.md
+§7): instead of one GNU Radio flowgraph per channel (reference
+rc_frontend/receiver.py:282-341 spawning ``channel.channel`` per request,
+and one demod process per system, p25_control_demod.py:106-183), a single
+jitted step consumes a wideband block ``[T]`` and produces sliced symbols
+for *all* ``num_slots`` channel slots at once:
+
+    xlat bank (MXU conv)  →  quadrature discriminator (VPU)
+      →  boxcar symbol filter (conv)  →  fsk4/M&M tracking (lax.scan)
+      →  slicer
+
+Slot center frequencies are runtime data (``offsets_norm``), so channel
+create/release/retune never recompiles. Streaming continuity is carried in
+an explicit state pytree; every array keeps a static shape.
+
+One ``ControlPipeline`` instance is specialized to one air-interface class
+(symbol rate + decision alphabet): P25 C4FM 4800 Bd 4-level
+(p25_control_demod.py:82), EDACS 9600 Bd binary (edacs_control_demod.py:45),
+Motorola 3600 Bd binary (moto_control_demod.py:50). Mixed deployments run
+one pipeline per class — at most a handful of compiled variants, matching
+the reference's per-protocol demod classes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radiocapture_tpu.demod import fsk4 as _fsk4
+from radiocapture_tpu.ops.channelizer import XlatBank, XlatBankState
+from radiocapture_tpu.ops import fm as _fm
+from radiocapture_tpu.utils import wire as _wire
+
+
+def _batched_fir(hist: jax.Array, x: jax.Array, taps: jax.Array
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Streaming FIR over ``[slots, T]`` with shared real taps.
+
+    Returns (new_hist [slots, K-1], y [slots, T]).
+    """
+    k = taps.shape[0]
+    z = jnp.concatenate([hist, x], axis=-1)          # [C, T+K-1]
+    y = jax.lax.conv_general_dilated(
+        z[:, None, :].astype(jnp.float32),
+        taps[::-1][None, None, :].astype(jnp.float32),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]
+    return z[:, z.shape[-1] - (k - 1):], y
+
+
+class ControlPipelineState(NamedTuple):
+    bank: XlatBankState
+    quad: _fm.QuadDemodState         # prev: [slots] complex64
+    sym_hist: jax.Array              # [slots, sym_ntaps-1] float32
+    fsk4: _fsk4.Fsk4State            # batch (slots,)
+
+
+class ControlPipeline:
+    """Wideband block → per-slot (symbols, valid, dibits)."""
+
+    def __init__(self, num_slots: int, samp_rate: float,
+                 channel_rate: float = 12500.0,
+                 symbol_rate: float = 4800.0,
+                 levels: tuple = (-3.0, -1.0, 1.0, 3.0),
+                 deviation_hz: float = 600.0):
+        self.num_slots = num_slots
+        self.samp_rate = float(samp_rate)
+        self.channel_rate = float(channel_rate)
+        self.symbol_rate = float(symbol_rate)
+        self.levels = tuple(levels)
+        self.bank = XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+        self.channel_fs = self.samp_rate / self.bank.decim
+        # Discriminator gain maps ±deviation to the outer slicer levels
+        # (reference symbol scaling: p25_control_demod.py:118-127).
+        self.disc_gain = (self.channel_fs
+                          / (2.0 * math.pi * float(deviation_hz)))
+        # Host numpy: embeds as a trace-time constant, no device round
+        # trip (axon-style transports can't copy device arrays back for
+        # constant embedding).
+        self.sym_taps = _fsk4.boxcar_taps(self.channel_fs, self.symbol_rate)
+        # State crosses the jit boundary wire-encoded (utils.wire): the
+        # tunneled TPU transport can't carry complex64/uint32 buffers at
+        # executable I/O; complex math stays inside jit.
+        self._state_spec = _wire.abstract(self._init_decoded)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    # -- constructors matching the three reference control-channel classes
+    @classmethod
+    def p25_c4fm(cls, num_slots: int, samp_rate: float) -> "ControlPipeline":
+        return cls(num_slots, samp_rate, 12500.0, 4800.0,
+                   (-3.0, -1.0, 1.0, 3.0), 600.0)
+
+    @classmethod
+    def edacs(cls, num_slots: int, samp_rate: float) -> "ControlPipeline":
+        # 9600 Bd binary FSK; discriminator scaled so ±dev → ±1
+        # (edacs_control_demod.py:81-90 quad gain 5 ≈ fs/2π·800 at 25 kS/s).
+        return cls(num_slots, samp_rate, 12500.0, 9600.0,
+                   (-1.0, 1.0), 4000.0)
+
+    @classmethod
+    def moto(cls, num_slots: int, samp_rate: float) -> "ControlPipeline":
+        # 3600 Bd binary FSK (moto_control_demod.py:105-115).
+        return cls(num_slots, samp_rate, 12500.0, 3600.0,
+                   (-1.0, 1.0), 4000.0)
+
+    @property
+    def decim(self) -> int:
+        return self.bank.decim
+
+    def _init_decoded(self) -> ControlPipelineState:
+        c = self.num_slots
+        return ControlPipelineState(
+            bank=self.bank.init(),
+            quad=_fm.quad_demod_init(batch_shape=(c,)),
+            sym_hist=jnp.zeros((c, self.sym_taps.shape[0] - 1), jnp.float32),
+            fsk4=_fsk4.fsk4_init(batch_shape=(c,)),
+        )
+
+    def init(self) -> ControlPipelineState:
+        """Initial state, wire-encoded (all-zero either way)."""
+        return _wire.zeros(_wire.encode(self._state_spec))
+
+    def _step_impl(self, wire_state: ControlPipelineState, x: jax.Array,
+                   offsets_norm: jax.Array):
+        state = _wire.decode(wire_state, self._state_spec)
+        if not jnp.iscomplexobj(x):
+            x = jax.lax.complex(x[..., 0], x[..., 1])
+        bs, chans = self.bank(state.bank, x, offsets_norm)
+        qs, disc = _fm.quadrature_demod(state.quad, chans, self.disc_gain)
+        sh, filt = _batched_fir(state.sym_hist, disc, self.sym_taps)
+        fs, (syms, valid) = _fsk4.fsk4_demod(
+            state.fsk4, filt, self.channel_fs, self.symbol_rate,
+            levels=self.levels)
+        if len(self.levels) == 4:
+            dibits = _fsk4.slice_dibits_jax(syms).astype(jnp.int32)
+        else:
+            dibits = (syms > 0.0).astype(jnp.int32)
+        new_state = ControlPipelineState(bank=bs, quad=qs, sym_hist=sh,
+                                         fsk4=fs)
+        # valid/dibits leave the device as int32 — 1/2-byte dtypes can't
+        # cross some TPU transports.
+        return _wire.encode(new_state), (syms, valid.astype(jnp.int32),
+                                         dibits)
+
+    def step(self, state: ControlPipelineState, x: jax.Array,
+             offsets_norm: jax.Array):
+        """One jitted streaming step.
+
+        x: [T] complex64 wideband (or [T, 2] float32 re/im pairs — the
+        transfer-friendly on-the-wire layout), T % decim == 0.
+        offsets_norm: [num_slots] float32, slot center offset in
+          cycles/input-sample (i.e. offset_hz / samp_rate).
+        Returns (state, (symbols [C, T//decim] f32, valid [C, T//decim]
+        int32 0/1, dibits [C, T//decim] int32)).
+        """
+        return self._step(state, x, offsets_norm)
+
+    def offsets_for(self, freqs_hz: np.ndarray, center_hz: float
+                    ) -> np.ndarray:
+        """Per-slot ``offsets_norm`` for absolute channel frequencies."""
+        return ((np.asarray(freqs_hz, np.float64) - center_hz)
+                / self.samp_rate).astype(np.float32)
+
+
+class VoicePipelineState(NamedTuple):
+    bank: XlatBankState
+    quad: _fm.QuadDemodState
+    deemph: _fm.DeemphState
+    audio_hist: jax.Array            # [slots, K-1]
+
+
+class AnalogVoicePipeline:
+    """Batched NBFM voice: wideband block → [slots, T'] audio at channel
+    rate (resample to 8 kHz happens in the recorder; ops.resample).
+
+    Replaces the reference's per-call ``analog`` flowgraph
+    (logging_receiver.py:210-222: pwr_squelch → fm_demod_cf(deemph 75µs)
+    → high-pass 300 Hz → resample); squelch is applied downstream as a
+    power mask so the kernel stays branch-free.
+    """
+
+    def __init__(self, num_slots: int, samp_rate: float,
+                 channel_rate: float = 12500.0, max_dev: float = 5000.0):
+        self.num_slots = num_slots
+        self.samp_rate = float(samp_rate)
+        self.bank = XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+        self.channel_fs = self.samp_rate / self.bank.decim
+        self.max_dev = float(max_dev)
+        from radiocapture_tpu.ops import taps as _taps
+        # 300 Hz high-pass (logging_receiver.py:215) folded with a voice
+        # low-pass into one band-pass FIR.
+        lp = _taps.low_pass(1.0, self.channel_fs, 3400.0, 600.0)
+        hp = _taps.high_pass(1.0, self.channel_fs, 300.0, 200.0)
+        self.audio_taps = np.convolve(lp, hp).astype(np.float32)
+        self._state_spec = _wire.abstract(self._init_decoded)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def _init_decoded(self) -> VoicePipelineState:
+        c = self.num_slots
+        return VoicePipelineState(
+            bank=self.bank.init(),
+            quad=_fm.quad_demod_init(batch_shape=(c,)),
+            deemph=_fm.deemph_init(batch_shape=(c,)),
+            audio_hist=jnp.zeros((c, self.audio_taps.shape[0] - 1),
+                                 jnp.float32),
+        )
+
+    def init(self) -> VoicePipelineState:
+        return _wire.zeros(_wire.encode(self._state_spec))
+
+    def _step_impl(self, wire_state: VoicePipelineState, x: jax.Array,
+                   offsets_norm: jax.Array):
+        state = _wire.decode(wire_state, self._state_spec)
+        if not jnp.iscomplexobj(x):
+            x = jax.lax.complex(x[..., 0], x[..., 1])
+        bs, chans = self.bank(state.bank, x, offsets_norm)
+        gain = self.channel_fs / (2.0 * math.pi * self.max_dev)
+        qs, disc = _fm.quadrature_demod(state.quad, chans, gain)
+        ds, de = _fm.fm_deemphasis(state.deemph, disc, self.channel_fs)
+        ah, audio = _batched_fir(state.audio_hist, de, self.audio_taps)
+        power = jnp.mean(jnp.abs(chans) ** 2, axis=-1)   # [C] squelch meter
+        new_state = VoicePipelineState(bank=bs, quad=qs, deemph=ds,
+                                       audio_hist=ah)
+        return _wire.encode(new_state), (audio, power)
+
+    def step(self, state: VoicePipelineState, x: jax.Array,
+             offsets_norm: jax.Array):
+        """x: [T] → (state, (audio [C, T//decim], power [C]))."""
+        return self._step(state, x, offsets_norm)

@@ -48,12 +48,21 @@ class XlatBank:
     """
 
     def __init__(self, num_slots: int, decim: int, taps: np.ndarray):
-        if len(taps) % 2 == 0:
-            taps = np.concatenate([taps, np.zeros(1, taps.dtype)])
+        # Pad taps to a multiple of decim so the strided conv decomposes
+        # into P polyphase frames -> one [N, P·D] × [P·D, C] matmul (the
+        # MXU path; a direct stride-96, K≈2800 conv lowers terribly on
+        # TPU).
+        pad = (-len(taps)) % decim
+        if pad:
+            taps = np.concatenate([taps, np.zeros(pad, taps.dtype)])
         self.num_slots = num_slots
         self.decim = decim
-        self.taps = jnp.asarray(taps, jnp.float32)
+        # Keep taps as host numpy: they embed as jaxpr constants at trace
+        # time without a device round trip (device->host copies of
+        # closure constants are restricted on some TPU transports).
+        self.taps = np.asarray(taps, np.float32)
         self.ntaps = len(taps)
+        self.p = self.ntaps // decim
 
     @classmethod
     def for_rates(cls, num_slots: int, samp_rate: float, channel_rate: float,
@@ -84,27 +93,22 @@ class XlatBank:
         k = self.ntaps
         d = self.decim
         c = self.num_slots
+        p = self.p
         kk = jnp.arange(k, dtype=jnp.float32)
-        # Per-slot modulated taps g[c,k] = h[k] e^{j 2π f_c k}, reversed for
-        # correlation-form conv.
+        # Per-slot modulated taps g[c,k] = h[k] e^{j 2π f_c k}, reversed to
+        # correlation form: y[c,n] = Σ_k grev[c,k] · z[nD + k].
         ang = (2.0 * jnp.pi) * offsets_norm[:, None] * kk[None, :]
         g = self.taps[None, :] * jnp.exp(1j * ang)      # [C, K]
         grev = g[:, ::-1]
-        # One real conv with 2 input features (re/im) and 2C output features;
-        # XLA lowers this to an MXU matmul over [n_frames, K] x [K, 2C].
-        kern = jnp.concatenate([
-            jnp.stack([grev.real, -grev.imag], axis=1),   # real part rows
-            jnp.stack([grev.imag, grev.real], axis=1),    # imag part rows
-        ], axis=0)                                        # [2C, 2, K]
-        z = jnp.concatenate([state.history, x])
-        zr = jnp.stack([z.real, z.imag])[None]            # [1, 2, T+K-1]
-        out = jax.lax.conv_general_dilated(
-            zr.astype(jnp.float32), kern.astype(jnp.float32),
-            window_strides=(d,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        )[0]                                              # [2C, N]
-        y = (out[:c] + 1j * out[c:]).astype(jnp.complex64)
-        n_out = y.shape[-1]
+        z = jnp.concatenate([state.history, x])          # [T + K-1]
+        n_out = x.shape[0] // d
+        # Polyphase framing: z[nD + pD + dd] for n∈[N), p∈[P), dd∈[D) —
+        # P shifted row-views of the [N+P-1, D] reshape, no gather.
+        zf = z[: n_out * d + k - d].reshape(n_out + p - 1, d)
+        w = jnp.concatenate([zf[q: q + n_out] for q in range(p)],
+                            axis=1)                      # [N, P·D] = [N, K]
+        # One complex matmul on the MXU: [N, K] x [K, C].
+        y = (w @ grev.T).T.astype(jnp.complex64)         # [C, N]
         # Per-slot mixer phase ramp, exact uint32 fixed-point (see
         # ops.fir._phase_step_u32): bit-exact across block splits.
         step = _phase_step_u32(offsets_norm, d)           # [C] uint32
@@ -140,8 +144,9 @@ class PfbChannelizer:
         hp = np.asarray(taps, np.float32).reshape(self.p, m).T  # [M, P]
         # Branch m of the analysis filter sees x[nM - m - pM]; after the
         # row-reshape trick the branch index arrives reversed, so store the
-        # reversed-row polyphase matrix (see __call__).
-        self.hp2 = jnp.asarray(hp[::-1])  # [M, P] rows m' = M-1-m
+        # reversed-row polyphase matrix (see __call__). Host numpy so it
+        # embeds as a trace-time constant without a device round trip.
+        self.hp2 = np.ascontiguousarray(hp[::-1])  # [M, P] rows m' = M-1-m
 
     @classmethod
     def for_rates(cls, samp_rate: float, num_channels: int,
