@@ -1,0 +1,255 @@
+"""Event bus: the control-plane messaging fabric.
+
+Mirrors the reference's two-tier contract (client_redis.py:93-172,
+client_activemq.py:104-169):
+
+- ``send_event_lazy(dest, body)`` — lossy tier: best-effort pub/sub,
+  dropped if the transport is down (raw control/voice firehose).
+- ``send_event_hopeful(dest, body)`` — durable tier: retried with
+  requeue-at-head on failure (completed-call CDRs, metadata updates).
+- ``subscribe(dest, callback)`` — callback dispatch through a worker
+  pool so slow consumers don't stall the publisher
+  (client_redis.py:64-73, 203-244).
+
+Topic vocabulary is kept identical to the reference so operational
+tooling ports over: ``/topic/raw_control/<uuid>``,
+``/topic/raw_voice/<uuid>``, ``/topic/call_management/new_call/<uuid>``,
+``/topic/call_management/timeout/<uuid>``,
+``/queue/call_management/call_complete``, ``/queue/metadata/site_update``.
+
+``InProcBus`` is the default transport: every subsystem runs in one
+host process per TPU host (the reference needed Redis because each
+channel/demod was its own OS process; here the hot path is on-device
+and the control plane is one asyncio-ish loop). ``RedisBus`` provides
+the same API over a real server for multi-host control planes, gated
+on the ``redis`` package.
+
+Messages get the reference's latency headers (``time_queued``/
+``time_sent``, client_activemq.py:217-227); deliveries slower than
+``latency_warn_s`` are counted and logged.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import logging
+import queue
+import threading
+import time
+from collections import defaultdict
+from typing import Callable
+
+log = logging.getLogger(__name__)
+
+
+class Subscription:
+    __slots__ = ("pattern", "callback")
+
+    def __init__(self, pattern: str, callback: Callable[[dict], None]):
+        self.pattern = pattern
+        self.callback = callback
+
+    def matches(self, dest: str) -> bool:
+        if self.pattern == dest:
+            return True
+        return fnmatch.fnmatchcase(dest, self.pattern)
+
+
+class InProcBus:
+    """In-process bus with worker-pool dispatch and durable-tier retry."""
+
+    def __init__(self, num_workers: int = 4, latency_warn_s: float = 0.1):
+        self._subs: list[Subscription] = []
+        self._lock = threading.RLock()
+        self._work: queue.Queue = queue.Queue()
+        self._hopeful: queue.Queue = queue.Queue()
+        self._running = True
+        self.latency_warn_s = latency_warn_s
+        self.latency_warnings = 0
+        self.delivered = 0
+        self.dropped = 0
+        self._workers = [
+            threading.Thread(target=self._worker, daemon=True,
+                             name=f"bus-worker-{i}")
+            for i in range(num_workers)]
+        for t in self._workers:
+            t.start()
+        self._hopeful_thread = threading.Thread(
+            target=self._drain_hopeful, daemon=True, name="bus-hopeful")
+        self._hopeful_thread.start()
+
+    # -- public API (reference-compatible verbs)
+    def subscribe(self, dest: str, callback: Callable[[dict], None]) -> None:
+        """``dest`` may contain ``*`` wildcards (fnmatch)."""
+        with self._lock:
+            self._subs.append(Subscription(dest, callback))
+
+    def unsubscribe(self, dest: str,
+                    callback: Callable[[dict], None] | None = None) -> None:
+        with self._lock:
+            self._subs = [s for s in self._subs
+                          if not (s.pattern == dest and
+                                  (callback is None or
+                                   s.callback is callback))]
+
+    def send_event_lazy(self, dest: str, body: dict,
+                        headers: dict | None = None) -> None:
+        self._publish(dest, body, headers, durable=False)
+
+    def send_event_hopeful(self, dest: str, body: dict,
+                           headers: dict | None = None) -> None:
+        self._publish(dest, body, headers, durable=True)
+
+    def close(self) -> None:
+        self._running = False
+
+    # -- internals
+    def _publish(self, dest: str, body: dict, headers: dict | None,
+                 durable: bool) -> None:
+        msg = {"destination": dest, "body": body,
+               "headers": dict(headers or {})}
+        msg["headers"].setdefault("time_queued", time.time())
+        if durable:
+            self._hopeful.put(msg)
+        else:
+            self._dispatch(msg)
+
+    def _dispatch(self, msg: dict) -> None:
+        msg["headers"]["time_sent"] = time.time()
+        with self._lock:
+            subs = [s for s in self._subs if s.matches(msg["destination"])]
+        if not subs:
+            self.dropped += 1
+            return
+        for s in subs:
+            self._work.put((s, msg))
+
+    def _worker(self) -> None:
+        while self._running:
+            try:
+                s, msg = self._work.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            lat = time.time() - msg["headers"]["time_queued"]
+            if lat > self.latency_warn_s:
+                self.latency_warnings += 1
+                log.warning("bus latency %.3fs on %s", lat,
+                            msg["destination"])
+            try:
+                s.callback(msg["body"])
+                self.delivered += 1
+            except Exception:
+                log.exception("subscriber error on %s", msg["destination"])
+
+    def _drain_hopeful(self) -> None:
+        """Durable tier: requeue-at-head on failure, like the reference's
+        hopeful queues (client_redis.py:140-152)."""
+        pending: list[dict] = []
+        while self._running:
+            if not pending:
+                try:
+                    pending.append(self._hopeful.get(timeout=0.5))
+                except queue.Empty:
+                    continue
+            msg = pending[0]
+            try:
+                self._dispatch(msg)
+                pending.pop(0)
+            except Exception:
+                log.exception("hopeful dispatch failed; retrying")
+                time.sleep(0.5)
+
+
+class RedisBus:
+    """Same API over Redis pub/sub for multi-host control planes.
+
+    Gated on the ``redis`` package; body is JSON on the wire like the
+    reference (client_redis.py:129-131). Supports a server list with
+    publish-to-all / subscribe-to-all like the reference's multi-server
+    config (redis_channelizer_manager.py:44-46).
+    """
+
+    def __init__(self, servers: list[dict] | None = None,
+                 latency_warn_s: float = 0.1):
+        try:
+            import redis  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "RedisBus requires the `redis` package; use InProcBus "
+                "for single-host deployments") from e
+        import redis
+        self._redis = [redis.Redis(host=s.get("host", "localhost"),
+                                   port=s.get("port", 6379))
+                       for s in (servers or [{}])]
+        self._pubsubs = []
+        self._threads = []
+        self._running = True
+        self.latency_warn_s = latency_warn_s
+        self.latency_warnings = 0
+
+    def subscribe(self, dest: str, callback: Callable[[dict], None]) -> None:
+        pattern = dest.replace("*", "*")
+        for r in self._redis:
+            ps = r.pubsub()
+            ps.psubscribe(**{pattern: lambda m, cb=callback:
+                             self._on_msg(m, cb)})
+            t = ps.run_in_thread(sleep_time=0.01, daemon=True)
+            self._pubsubs.append(ps)
+            self._threads.append(t)
+
+    def _on_msg(self, m, callback) -> None:
+        try:
+            body = json.loads(m["data"])
+        except Exception:
+            return
+        hdr = body.pop("_headers", {})
+        tq = hdr.get("time_queued")
+        if tq and time.time() - tq > self.latency_warn_s:
+            self.latency_warnings += 1
+        callback(body)
+
+    def send_event_lazy(self, dest: str, body: dict,
+                        headers: dict | None = None) -> None:
+        payload = dict(body)
+        payload["_headers"] = {"time_queued": time.time(),
+                               **(headers or {})}
+        data = json.dumps(payload)
+        for r in self._redis:
+            try:
+                r.publish(dest, data)
+            except Exception:
+                pass  # lossy tier
+
+    def send_event_hopeful(self, dest: str, body: dict,
+                           headers: dict | None = None,
+                           max_retries: int = 10) -> None:
+        payload = dict(body)
+        payload["_headers"] = {"time_queued": time.time(),
+                               **(headers or {})}
+        data = json.dumps(payload)
+        for r in self._redis:
+            for _ in range(max_retries):
+                try:
+                    r.publish(dest, data)
+                    # Durable copy under a list key for pull consumers.
+                    r.rpush("queue:" + dest, data)
+                    break
+                except Exception:
+                    time.sleep(0.5)
+
+    def close(self) -> None:
+        self._running = False
+        for t in self._threads:
+            t.stop()
+
+
+def make_bus(redis_servers: list[dict] | None = None):
+    """RedisBus when servers are configured and redis importable; else
+    InProcBus."""
+    if redis_servers:
+        try:
+            return RedisBus(redis_servers)
+        except RuntimeError:
+            log.warning("redis unavailable; using in-process bus")
+    return InProcBus()

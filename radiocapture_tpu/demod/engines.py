@@ -122,39 +122,56 @@ class P25ControlEngine(EngineBase):
             self._emit(t)
         return out
 
-    # --- IDEN/site bookkeeping (semantics of p25_control_demod 417-527)
+    # --- IDEN/site bookkeeping (semantics of p25_control_demod 417-527).
+    # Like the reference, the scaled engineering values are written INTO
+    # the emitted event (Base Frequency MHz, Channel Spacing kHz, BW
+    # scaled, signed Transmit Offset, Access Type/Slots for TDMA) — the
+    # call managers consume the scaled form (p25_call_manager.py:275-316).
+    # Deviation: the reference's sign extraction `raw & 0x100 >> 8`
+    # binds as `raw & 1` (precedence bug); we use bit 8 as TIA-102
+    # specifies. The field is stored but not used downstream.
     def _apply_tsbk(self, t: dict) -> None:
         name = t.get("name")
         if name == "IDEN_UP_VU":
-            bw = {4: 6.25, 5: 12.5}.get(t["BW VU"], t["BW VU"])
+            t["Base Frequency"] = t["Base Frequency"] * 0.000005
+            t["BW VU"] = {4: 6.25, 5: 12.5}.get(t["BW VU"], t["BW VU"])
+            t["Channel Spacing"] = t["Channel Spacing"] * 0.125
+            t["Transmit Offset VU"] = _signed_offset(t["Transmit Offset VU"])
             self.channel_identifier_table[t["Identifier"]] = {
-                "BW": bw,
-                "Base Frequency": t["Base Frequency"] * 0.000005,
-                "Channel Spacing": t["Channel Spacing"] * 0.125,
-                "Transmit Offset": _signed_offset(t["Transmit Offset VU"]),
+                "BW": t["BW VU"],
+                "Base Frequency": t["Base Frequency"],
+                "Channel Spacing": t["Channel Spacing"],
+                "Transmit Offset": t["Transmit Offset VU"],
                 "Type": "FDMA", "Slots": 1,
             }
         elif name == "IDEN_UP":
+            t["Base Frequency"] = t["Base Frequency"] * 0.000005
+            t["BW"] = t["BW"] * 0.125
+            t["Channel Spacing"] = t["Channel Spacing"] * 0.125
+            t["Transmit Offset"] = _signed_offset(t["Transmit Offset"])
             self.channel_identifier_table[t["Identifier"]] = {
-                "BW": t["BW"] * 0.125,
-                "Base Frequency": t["Base Frequency"] * 0.000005,
-                "Channel Spacing": t["Channel Spacing"] * 0.125,
-                "Transmit Offset": _signed_offset(t["Transmit Offset"]),
+                "BW": t["BW"],
+                "Base Frequency": t["Base Frequency"],
+                "Channel Spacing": t["Channel Spacing"],
+                "Transmit Offset": t["Transmit Offset"],
                 "Type": "FDMA", "Slots": 1,
             }
         elif name == "IDEN_UP_TDMA":
             ct = t["Channel Type"]
-            access = "FDMA" if ct in (0, 1, 2) else "TDMA"
-            slots = {3: 2, 5: 2, 4: 4}.get(ct, 1)
-            bw = {0: 12.5, 1: 12.5, 2: 6.25, 3: 12.5, 4: 25.0,
-                  5: 12.5}.get(ct, 12.5)
+            t["Base Frequency"] = t["Base Frequency"] * 0.000005
+            t["Channel Spacing"] = t["Channel Spacing"] * 0.125
+            t["Transmit Offset TDMA"] = _signed_offset(
+                t["Transmit Offset TDMA"], mask=0x1FFF, scale=1.0)
+            t["Access Type"] = "FDMA" if ct in (0, 1, 2) else "TDMA"
+            t["Slots"] = {3: 2, 5: 2, 4: 4}.get(ct, 1)
+            t["BW"] = {0: 12.5, 1: 12.5, 2: 6.25, 3: 12.5, 4: 25.0,
+                       5: 12.5}.get(ct, 12.5)
             self.channel_identifier_table[t["Identifier"]] = {
-                "BW": bw,
-                "Base Frequency": t["Base Frequency"] * 0.000005,
-                "Channel Spacing": t["Channel Spacing"] * 0.125,
-                "Transmit Offset": _signed_offset(t["Transmit Offset TDMA"],
-                                                  mask=0x1FFF, scale=1.0),
-                "Type": access, "Slots": slots,
+                "BW": t["BW"],
+                "Base Frequency": t["Base Frequency"],
+                "Channel Spacing": t["Channel Spacing"],
+                "Transmit Offset": t["Transmit Offset TDMA"],
+                "Type": t["Access Type"], "Slots": t["Slots"],
             }
         elif name == "NET_STS_BCST":
             self.site_detail["WACN ID"] = hex(t["WACN ID"])
