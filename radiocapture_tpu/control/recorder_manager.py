@@ -1,0 +1,130 @@
+"""Call recording orchestration: new_call → slot + recorder, timeout →
+close.
+
+Merges the reference's ``call_recorder`` (one object per demod instance
+subscribing to its new_call/timeout topics, call_recorder.py:51-78) and
+``call_recorder_manager`` (lifecycle tied to demod presence,
+call_recorder_manager.py:30-49). Where the reference's logging_receiver
+dials the frontend for a channel (logging_receiver.py:94-105), recorders
+here claim a slot from the ``ChannelScheduler``; the overseer's capture
+loop then routes that slot's pipeline outputs to ``feed_slot`` every
+block.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import numpy as np
+
+from radiocapture_tpu.audio.recorder import CallRecorder, P25_MODS
+
+log = logging.getLogger(__name__)
+
+
+class RecorderManager:
+    def __init__(self, bus, scheduler, audio_dir: str = "audio",
+                 channel_fs: float = 25000.0, keep_wav: bool = False):
+        self.bus = bus
+        self.scheduler = scheduler
+        self.audio_dir = audio_dir
+        self.channel_fs = channel_fs
+        self.keep_wav = keep_wav
+        self._lock = threading.RLock()
+        # call_uuid -> (recorder, source_idx, slot_idx, block_id, kind)
+        self.active: dict[str, tuple] = {}
+        self._instances: set[str] = set()
+
+    # ---- demod presence lifecycle (call_recorder_manager.py:30-49) ----
+    def notify_demod_new(self, dtype: str, instance_uuid: str,
+                         record: dict | None = None) -> None:
+        if instance_uuid in self._instances:
+            return
+        self._instances.add(instance_uuid)
+        self.bus.subscribe(f"/topic/call_management/new_call/{instance_uuid}",
+                           self.process_new_call)
+        self.bus.subscribe(f"/topic/call_management/timeout/{instance_uuid}",
+                           self.process_call_timeout)
+
+    def notify_demod_expire(self, dtype: str, instance_uuid: str) -> None:
+        if instance_uuid not in self._instances:
+            return
+        self._instances.discard(instance_uuid)
+        self.bus.unsubscribe(
+            f"/topic/call_management/new_call/{instance_uuid}")
+        self.bus.unsubscribe(
+            f"/topic/call_management/timeout/{instance_uuid}")
+        with self._lock:
+            for cu, (rec, *_rest) in list(self.active.items()):
+                if rec.instance_uuid == instance_uuid:
+                    self._close(cu)
+
+    # ---- call lifecycle (call_recorder.py:57-78) ----
+    def process_new_call(self, cdr: dict) -> None:
+        call_uuid = cdr["call_uuid"]
+        with self._lock:
+            if call_uuid in self.active:
+                return
+            client = f"recorder-{cdr['instance_uuid'][:8]}"
+            alloc = self.scheduler.create_channel(
+                client, cdr.get("channel_bandwidth", 12500.0) * 2,
+                cdr["frequency"])
+            if alloc is None:
+                log.warning("no slot for call %s @ %s", call_uuid,
+                            cdr["frequency"])
+                return
+            src, slot, block_id = alloc
+            rec = CallRecorder(cdr, self.bus, audio_dir=self.audio_dir,
+                               channel_fs=self.channel_fs,
+                               keep_wav=self.keep_wav).open()
+            kind = "p25" if cdr.get("modulation_type") in P25_MODS \
+                else "analog"
+            self.active[call_uuid] = (rec, src, slot, block_id, kind)
+
+    def process_call_timeout(self, ev: dict) -> None:
+        self._close(ev["call_uuid"])
+
+    def _close(self, call_uuid: str, patches: dict | None = None) -> None:
+        with self._lock:
+            entry = self.active.pop(call_uuid, None)
+        if entry is None:
+            return
+        rec, src, slot, block_id, kind = entry
+        rec.close(patches)
+        self.scheduler.release_channel(
+            f"recorder-{rec.instance_uuid[:8]}", block_id)
+
+    def close_all(self) -> None:
+        with self._lock:
+            for cu in list(self.active):
+                self._close(cu)
+
+    # ---- capture-loop feed ----
+    def feed_source_block(self, source_idx: int, *, audio=None, power=None,
+                          dibits=None, valid=None) -> None:
+        """Route one block of per-slot pipeline outputs to the recorders
+        holding slots on this source.
+
+        audio/power from AnalogVoicePipeline ([slots, T'], [slots]);
+        dibits/valid from a digital voice pipeline ([slots, N] each).
+        """
+        with self._lock:
+            entries = list(self.active.values())
+        for rec, src, slot, _bid, kind in entries:
+            if src != source_idx or rec.closed:
+                continue
+            if kind == "analog" and audio is not None:
+                rec.feed_audio(np.asarray(audio[slot]),
+                               float(power[slot]))
+            elif kind == "p25" and dibits is not None:
+                v = np.asarray(valid[slot]).astype(bool)
+                rec.feed_dibits(np.asarray(dibits[slot])[v])
+
+    def heartbeat_clients(self) -> None:
+        """Keep recorder slot claims alive (frontend_connector.py:197)."""
+        with self._lock:
+            clients = {f"recorder-{rec.instance_uuid[:8]}"
+                       for rec, *_ in self.active.values()}
+        for c in clients:
+            self.scheduler.heartbeat(c)

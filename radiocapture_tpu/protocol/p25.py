@@ -40,7 +40,19 @@ DUID_LDU2 = 0xA
 DUID_PDU = 0xC
 DUID_TLC = 0xF
 
+# Short names follow the reference's event vocabulary exactly — the
+# call managers switch on them (p25_general.py:22-102,
+# p25_call_manager.py:349).
 DATA_UNIT_NAMES = {
+    DUID_HDU: "HDU",
+    DUID_TDU: "TnoLC",
+    DUID_LDU1: "LDU1",
+    DUID_TSDU: "TSDU",
+    DUID_LDU2: "LDU2",
+    DUID_PDU: "PDU",
+    DUID_TLC: "TLC",
+}
+DATA_UNIT_LONG_NAMES = {
     DUID_HDU: "Header Data Unit",
     DUID_TDU: "Terminator without Link Control",
     DUID_LDU1: "Logical Link Data Unit 1",
@@ -331,6 +343,19 @@ def parse_link_control(lc144: np.ndarray) -> dict:
         r["source_id"] = B.bits_to_int(dec[48:72])
     elif r["lcf"] == 0x15:
         r["lcf_long"] = "Call Termination / Cancellation"
+    elif r["lcf"] == 0x02:
+        # Group Voice Channel Update: the reference call manager has a
+        # handler for this (p25_call_manager.py:367-370) but its LC
+        # parser never emits it (p25_general.py:156-174 covers only
+        # 0x0/0x15) — parsed here so the branch is live. TIA-102.AABF
+        # LCO 0x02 carries no MFID octet: 4 x 16-bit fields follow the
+        # first octet directly.
+        r["lcf_long"] = "Group Voice Channel Update"
+        del r["mfid"]
+        r["channel_a"] = B.bits_to_int(dec[8:24])
+        r["channel_a_group"] = B.bits_to_int(dec[24:40])
+        r["channel_b"] = B.bits_to_int(dec[40:56])
+        r["channel_b_group"] = B.bits_to_int(dec[56:72])
     return r
 
 
