@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from radiocapture_tpu.demod import cqpsk as _cqpsk
 from radiocapture_tpu.demod import fsk4 as _fsk4
 from radiocapture_tpu.ops.channelizer import XlatBank, XlatBankState
 from radiocapture_tpu.ops import fm as _fm
@@ -166,6 +167,84 @@ class ControlPipeline:
     def offsets_for(self, freqs_hz: np.ndarray, center_hz: float
                     ) -> np.ndarray:
         """Per-slot ``offsets_norm`` for absolute channel frequencies."""
+        return ((np.asarray(freqs_hz, np.float64) - center_hz)
+                / self.samp_rate).astype(np.float32)
+
+
+class CqpskPipelineState(NamedTuple):
+    bank: XlatBankState
+    cqpsk: _cqpsk.CqpskState         # batch (slots,)
+
+
+class CqpskControlPipeline:
+    """Batched CQPSK capture: wideband block → per-slot (symbols, valid,
+    dibits) for P25 LSM control/voice channels.
+
+    Mirrors the reference chain prefilter → feedforward AGC →
+    gardner_costas → diff_phasor → complex_to_arg → ×1/(pi/4) → slicer
+    (p25_control_demod.py:136-168); here the AGC is per-block RMS
+    normalization and timing/carrier tracking is the ``demod.cqpsk`` scan
+    kernel vmapped across slots. Output dibits use the same slicer levels
+    [-2, 0, 2, 4] as the C4FM path, so the frame layer is shared.
+    """
+
+    def __init__(self, num_slots: int, samp_rate: float,
+                 channel_rate: float = 12500.0,
+                 symbol_rate: float = 4800.0):
+        self.num_slots = num_slots
+        self.samp_rate = float(samp_rate)
+        self.channel_rate = float(channel_rate)
+        self.symbol_rate = float(symbol_rate)
+        self.bank = XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+        self.channel_fs = self.samp_rate / self.bank.decim
+        self._state_spec = _wire.abstract(self._init_decoded)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    @classmethod
+    def p25_cqpsk(cls, num_slots: int, samp_rate: float,
+                  tdma: bool = False) -> "CqpskControlPipeline":
+        # TDMA voice channels run 6000 Bd (logging_receiver.py:285-287).
+        return cls(num_slots, samp_rate, 12500.0,
+                   6000.0 if tdma else 4800.0)
+
+    @property
+    def decim(self) -> int:
+        return self.bank.decim
+
+    def _init_decoded(self) -> CqpskPipelineState:
+        return CqpskPipelineState(
+            bank=self.bank.init(),
+            cqpsk=_cqpsk.cqpsk_init(self.channel_fs, self.symbol_rate,
+                                    batch_shape=(self.num_slots,)),
+        )
+
+    def init(self) -> CqpskPipelineState:
+        # Unlike the FM pipelines, CQPSK state is NOT all-zero (omega
+        # starts at nominal samples/symbol); build it inside jit so only
+        # wire-safe f32 buffers ever cross the device boundary.
+        return jax.jit(lambda: _wire.encode(self._init_decoded()))()
+
+    def _step_impl(self, wire_state: CqpskPipelineState, x: jax.Array,
+                   offsets_norm: jax.Array):
+        state = _wire.decode(wire_state, self._state_spec)
+        if not jnp.iscomplexobj(x):
+            x = jax.lax.complex(x[..., 0], x[..., 1])
+        bs, chans = self.bank(state.bank, x, offsets_norm)
+        chans = _cqpsk.block_agc(chans)
+        cs, (syms, valid) = _cqpsk.cqpsk_demod(
+            state.cqpsk, chans, self.channel_fs, self.symbol_rate)
+        dibits = _fsk4.slice_dibits_jax(syms).astype(jnp.int32)
+        new_state = CqpskPipelineState(bank=bs, cqpsk=cs)
+        return _wire.encode(new_state), (syms, valid.astype(jnp.int32),
+                                         dibits)
+
+    def step(self, state: CqpskPipelineState, x: jax.Array,
+             offsets_norm: jax.Array):
+        """Same contract as :meth:`ControlPipeline.step`."""
+        return self._step(state, x, offsets_norm)
+
+    def offsets_for(self, freqs_hz: np.ndarray, center_hz: float
+                    ) -> np.ndarray:
         return ((np.asarray(freqs_hz, np.float64) - center_hz)
                 / self.samp_rate).astype(np.float32)
 
