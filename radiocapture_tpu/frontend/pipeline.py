@@ -282,6 +282,10 @@ class AnalogVoicePipeline:
         self._state_spec = _wire.abstract(self._init_decoded)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
+    @property
+    def decim(self) -> int:
+        return self.bank.decim
+
     def _init_decoded(self) -> VoicePipelineState:
         c = self.num_slots
         return VoicePipelineState(
