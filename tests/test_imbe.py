@@ -1,0 +1,137 @@
+"""Native C++ vocoder (native/imbe): channel-layer exactness + closed-
+loop synthesis. Fills the op25 ``repeater.vocoder`` role (reference
+logging_receiver.py:253); see imbe.h for the documented profile."""
+
+import numpy as np
+import pytest
+
+from radiocapture_tpu.audio import imbe as I
+
+
+def test_golay23_roundtrip_and_correction():
+    rng = np.random.default_rng(1)
+    for d in rng.integers(0, 4096, 50):
+        cw = I.golay23_encode(int(d))
+        got, n = I.golay23_decode(cw)
+        assert (got, n) == (int(d), 0)
+        # any 1..3-bit pattern corrects exactly
+        for k in (1, 2, 3):
+            pos = rng.choice(23, size=k, replace=False)
+            e = 0
+            for p in pos:
+                e |= 1 << int(p)
+            got, n = I.golay23_decode(cw ^ e)
+            assert got == int(d)
+            assert n == k
+
+
+def test_frame_roundtrip_bit_exact():
+    enc = I.ImbeEncoder()
+    bits = enc.encode_params(b0=100, voicing=0xABC, gain=33,
+                             amps=list(range(56)))
+    p, errs = I.unpack_frame(bits)
+    assert errs == 0
+    assert p["b0"] == 100
+    assert p["voicing"] == 0xABC
+    assert p["gain"] == 33
+
+
+def test_frame_corrects_channel_errors():
+    enc = I.ImbeEncoder()
+    bits = enc.encode_params(b0=64, voicing=0xFFF, gain=40,
+                             amps=[5] * 56)
+    rng = np.random.default_rng(2)
+    corrupted = bits.copy()
+    # 2 errors in each Golay span, 1 in each Hamming span.
+    for lo, hi, k in [(0, 23, 2), (23, 46, 2), (46, 69, 2), (69, 92, 2),
+                      (92, 107, 1), (107, 122, 1), (122, 137, 1)]:
+        for p in rng.choice(hi - lo, size=k, replace=False):
+            corrupted[lo + p] ^= 1
+    p, errs = I.unpack_frame(corrupted)
+    assert errs == 11
+    assert p["b0"] == 64 and p["voicing"] == 0xFFF and p["gain"] == 40
+
+
+def test_pn_scrambling_depends_on_u0():
+    """u1..u6 are scrambled by the PN seeded from u0: frames differing
+    only in b0 must differ across the scrambled span far more than the
+    payload difference alone."""
+    enc = I.ImbeEncoder()
+    a = enc.encode_params(b0=10, voicing=0x800, gain=20, amps=[1] * 56)
+    b = enc.encode_params(b0=11, voicing=0x800, gain=20, amps=[1] * 56)
+    diff_scrambled = int(np.sum(a[23:137] != b[23:137]))
+    assert diff_scrambled > 30    # avalanche from the PN reseed
+
+
+def test_vocoder_synthesizes_pitch():
+    """Closed loop through real analysis: a 120 Hz vowel encodes and
+    decodes to audio whose dominant pitch is 120 Hz."""
+    t = np.arange(160 * 20) / 8000.0
+    vowel = (0.5 * np.sin(2 * np.pi * 120 * t)
+             + 0.3 * np.sin(2 * np.pi * 240 * t)
+             + 0.2 * np.sin(2 * np.pi * 360 * t))
+    pcm_in = (vowel * 20000).astype(np.int16)
+    enc = I.ImbeEncoder()
+    voc = I.ImbeVocoder()
+    out = np.concatenate([voc.decode(enc.encode(pcm_in[i*160:(i+1)*160]))
+                          for i in range(20)])
+    assert out.shape == (3200,)
+    seg = out[800:].astype(np.float64)
+    assert np.sqrt(np.mean(seg ** 2)) > 100      # not silence
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak_hz = (np.argmax(spec[5:]) + 5) * 8000.0 / len(seg)
+    assert abs(peak_hz - 120.0) < 10.0, peak_hz
+
+
+def test_unvoiced_frames_are_noise_like():
+    enc = I.ImbeEncoder()
+    voc = I.ImbeVocoder()
+    bits = enc.encode_params(b0=40, voicing=0x000, gain=40, amps=[4] * 56)
+    out = np.concatenate([voc.decode(bits) for _ in range(8)])
+    seg = out[320:].astype(np.float64)
+    assert np.sqrt(np.mean(seg ** 2)) > 50
+    # flat-ish spectrum: no single bin dominates like a pure tone would
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+    assert spec.max() / spec.sum() < 0.2
+
+
+def test_recorder_uses_native_vocoder(tmp_path):
+    """A digital call recorded through CallRecorder writes real PCM when
+    the native vocoder is installed (logging_receiver.py:253 role)."""
+    from radiocapture_tpu.audio.recorder import CallRecorder, \
+        set_default_vocoder
+    from radiocapture_tpu.audio.wav import read_wav
+    from radiocapture_tpu.control.bus import InProcBus
+    from radiocapture_tpu.fec import bits as B
+    from radiocapture_tpu.protocol import p25 as P
+
+    voc = I.install_default()
+    try:
+        enc = I.ImbeEncoder()
+        vc = enc.encode_params(b0=80, voicing=0xFFF, gain=42,
+                               amps=[3] * 56)
+        vcs = np.stack([vc] * 9)
+        lc = P.make_link_control(0x0, tgid=101, source_id=202)
+        frames = [P.build_ldu1_frame(0x293, lc, vcs) for _ in range(3)]
+        dibits = B.bits_to_dibits(np.concatenate(frames))
+
+        bus = InProcBus(num_workers=1)
+        cdr = {"call_uuid": "c1", "instance_uuid": "i1",
+               "system_group_local": 101, "system_user_local": 202,
+               "system_channel_local": 851.2e6, "system_id": "sysA",
+               "type": "group",
+               "modulation_type": "p25", "time_open": 0.0}
+        rec = CallRecorder(cdr, bus, audio_dir=str(tmp_path),
+                           keep_wav=True).open()
+        rec.feed_dibits(dibits)
+        path = rec.filename
+        rec.close({})
+        pcm, rate = read_wav(path)
+        assert rate == 8000
+        # framer delimits on the next sync: the final LDU stays pending
+        assert len(pcm) >= 2 * 9 * 160
+        # read_wav returns float in [-1, 1]
+        assert np.sqrt(np.mean(pcm[160:].astype(np.float64) ** 2)) > 0.05
+        bus.close()
+    finally:
+        set_default_vocoder(None)
