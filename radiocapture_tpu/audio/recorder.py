@@ -41,6 +41,7 @@ from radiocapture_tpu.protocol import p25 as P
 log = logging.getLogger(__name__)
 
 P25_MODS = ("p25", "p25_cqpsk", "p25_tdma", "p25_cqpsk_tdma")
+TDMA_MODS = ("p25_tdma", "p25_cqpsk_tdma")
 
 
 class Vocoder:
@@ -98,9 +99,21 @@ class CallRecorder:
 
         self._resample_state = None
         self._resample_taps = None
-        self._framer = Framer() if self.modulation in P25_MODS else None
         self._imbe_frames: list[np.ndarray] = []
         self._slot = int(cdr.get("slot", 0) or 0)
+        self._framer = None
+        self._tdma = None
+        if self.modulation in TDMA_MODS:
+            # Phase 2: slot-selective burst receiver with the scrambler
+            # seeded from the call's (NAC, SYSID, WACN)
+            # (logging_receiver.py:353-363).
+            from radiocapture_tpu.demod.tdma import TdmaVoiceReceiver
+            self._tdma = TdmaVoiceReceiver(
+                int(cdr.get("nac", 0) or 0),
+                int(cdr.get("sysid", 0) or 0),
+                int(cdr.get("wacn", 0) or 0), self._slot)
+        elif self.modulation in P25_MODS:
+            self._framer = Framer()
 
     # ---- lifecycle ----
     def open(self) -> "CallRecorder":
@@ -154,7 +167,14 @@ class CallRecorder:
 
     # ---- P25 digital path ----
     def feed_dibits(self, dibits: np.ndarray) -> None:
-        if self.closed or self._framer is None:
+        if self.closed:
+            return
+        if self._tdma is not None:
+            if self._tdma.feed(np.asarray(dibits, np.uint8)):
+                self.activity()
+            self.errors = float(self._tdma.errors)
+            return
+        if self._framer is None:
             return
         for fb in self._framer.feed(np.asarray(dibits, np.uint8)):
             try:
@@ -212,6 +232,13 @@ class CallRecorder:
                 sidecar = self.filename[:-4] + ".imbe"
                 np.packbits(np.concatenate(self._imbe_frames)).tofile(
                     sidecar)
+        if self._tdma is not None and self._tdma.voice_frames:
+            # AMBE+2 audio decode is out of scope (imbe.h); keep the raw
+            # voice codewords so the recording retains evidentiary value.
+            sidecar = self.filename[:-4] + ".vb"
+            np.packbits(np.concatenate(self._tdma.voice_frames)).tofile(
+                sidecar)
+            self.cdr["errors"] = self.errors
         filename = self.filename
         if self.wav is not None:
             self.wav.close()
