@@ -1,0 +1,343 @@
+"""Site runtime: the reference's ``overseer.py __main__`` as a library.
+
+Wires a deployment config into the full capture stack (SURVEY.md
+§3.2-3.4) — per-source batched pipelines, per-system control demod
+instances with control-channel hunting, per-protocol call managers, the
+recorder manager, presence publication, and the metadata agent — and
+steps it block by block. The reference spreads this across one OS
+process per demod/call-manager/recorder joined by ZMQ/Redis
+(overseer.py:76-110); here the hot path is a handful of jitted pipeline
+steps per source per block, and the control plane is ordinary objects on
+an in-proc (or Redis-backed) bus. Per-source OS workers can still be
+spawned via :class:`radiocapture_tpu.control.overseer.Supervisor` for
+multi-host deployments.
+
+Usage::
+
+    cfg = load_config("configs/config_example_file.py")
+    rt = SiteRuntime(cfg, iq_providers={0: my_block_source})
+    rt.run(n_blocks=100)     # or rt.step() in an external loop
+
+CLI: ``python -m radiocapture_tpu.runtime -c <config.py> --blocks N``
+(file sources only).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import uuid as _uuid
+
+import numpy as np
+
+from radiocapture_tpu.control.bus import InProcBus, make_bus
+from radiocapture_tpu.control.call_manager import (P25CallManager,
+                                                   MotoCallManager,
+                                                   EdacsCallManager)
+from radiocapture_tpu.control.metadata_agent import MetadataAgent
+from radiocapture_tpu.control.presence import PresenceStore
+from radiocapture_tpu.control.recorder_manager import RecorderManager
+from radiocapture_tpu.demod.engines import (P25ControlEngine,
+                                            EdacsControlEngine,
+                                            MotoControlEngine)
+from radiocapture_tpu.frontend.pipeline import (AnalogVoicePipeline,
+                                                ControlPipeline,
+                                                CqpskControlPipeline)
+from radiocapture_tpu.frontend.scheduler import ChannelScheduler
+from radiocapture_tpu.rxconfig import RcConfig
+
+log = logging.getLogger(__name__)
+
+# pipeline class key per (system type, modulation)
+_CLS_C4FM, _CLS_CQPSK, _CLS_EDACS, _CLS_MOTO, _CLS_ANALOG = (
+    "c4fm", "cqpsk", "edacs", "moto", "analog")
+
+
+def _pipeline_class_for(sys_cfg) -> str:
+    if sys_cfg.type == "p25":
+        return _CLS_CQPSK if sys_cfg.modulation.upper() == "CQPSK" \
+            else _CLS_C4FM
+    return {"edacs": _CLS_EDACS, "moto": _CLS_MOTO}[sys_cfg.type]
+
+
+class ControlInstance:
+    """One trunked system's control-channel receiver: engine + slot +
+    hunting (p25_control_demod.py:213-261 tune_next_control_channel)."""
+
+    def __init__(self, sys_cfg, scheduler: ChannelScheduler, bus,
+                 site_uuid: str):
+        self.cfg = sys_cfg
+        self.scheduler = scheduler
+        self.bus = bus
+        self.site_uuid = site_uuid
+        self.instance_uuid = str(_uuid.uuid4())
+        self.cls = _pipeline_class_for(sys_cfg)
+        self.client = f"demod-{self.instance_uuid[:8]}"
+        self._cc_index = -1
+        self.source_idx: int | None = None
+        self.slot: int | None = None
+        self.block_id: int | None = None
+        self.control_channel: float = 0.0
+        kw = dict(on_event=self._emit, on_lost_lock=self.tune_next)
+        if sys_cfg.type == "p25":
+            self.engine = P25ControlEngine(**kw)
+        elif sys_cfg.type == "edacs":
+            self.engine = EdacsControlEngine(channels=sys_cfg.channels,
+                                             esk=sys_cfg.esk, **kw)
+        else:
+            self.engine = MotoControlEngine(
+                channels=sys_cfg.channels, cmd_offset=sys_cfg.cmd_offset,
+                force_p25=sys_cfg.force_p25, **kw)
+        self.scheduler.connect(self.client)
+        self.tune_next()
+
+    def _emit(self, ev: dict) -> None:
+        self.bus.send_event_lazy(
+            f"/topic/raw_control/{self.instance_uuid}", ev)
+
+    def tune_next(self) -> None:
+        """Hunt to the next candidate control channel."""
+        if self.block_id is not None:
+            self.scheduler.release_channel(self.client, self.block_id)
+            self.block_id = None
+        ccs = self.cfg.control_channels or list(
+            self.cfg.channels.values())
+        if not ccs:
+            return
+        self._cc_index = (self._cc_index + 1) % len(ccs)
+        freq = ccs[self._cc_index]
+        alloc = self.scheduler.create_channel(
+            self.client, 2 * self.cfg.bandwidth, freq)
+        if alloc is None:
+            log.error("%s: no slot for control channel %s",
+                      self.cfg.id, freq)
+            return
+        self.source_idx, self.slot, self.block_id = alloc
+        self.control_channel = freq
+        log.info("%s: tuned control channel %s (src %s slot %s)",
+                 self.cfg.id, freq, self.source_idx, self.slot)
+
+    def feed(self, dibits: np.ndarray) -> None:
+        if self.cfg.type == "p25":
+            self.engine.feed_dibits(dibits)
+        else:
+            # binary pipelines emit dibit==bit in the low bit
+            self.engine.feed_bits(np.asarray(dibits, np.uint8) & 1)
+
+    def presence_record(self) -> dict:
+        """redis_demod_publisher.py:42-81 record shape."""
+        return {
+            "instance_uuid": self.instance_uuid,
+            "system_uuid": self.cfg.system_uuid,
+            "transmit_site_uuid": self.cfg.transmit_site_uuid,
+            "site_uuid": self.site_uuid,
+            "type": self.cfg.type,
+            "system_modulation": self.cfg.modulation,
+            "site_detail": getattr(self.engine, "site_detail", {}),
+            "quality": list(self.engine.quality),
+            "control_channel": self.control_channel,
+            "is_locked": self.engine.is_locked,
+            "time": time.time(),
+        }
+
+
+class SiteRuntime:
+    def __init__(self, cfg: RcConfig, iq_providers: dict,
+                 bus=None, store=None, keep_wav: bool = False):
+        """iq_providers: {source_idx: callable(n) -> complex64[n] or
+        float32[n, 2]} — file readers, synthetic generators, or SDR
+        ingest shims."""
+        self.cfg = cfg
+        self.bus = bus or (make_bus(cfg.redis_servers)
+                           if cfg.redis_servers else InProcBus())
+        self.store = store or PresenceStore()
+        self.providers = iq_providers
+        self.scheduler = ChannelScheduler(
+            {i: (s.center_freq, s.samp_rate)
+             for i, s in cfg.sources.items()},
+            num_slots=cfg.num_slots_per_source)
+        # one pipeline per (source, symbol class) actually needed
+        self.pipelines: dict[tuple, object] = {}
+        self.pipe_state: dict[tuple, object] = {}
+        self.instances: list[ControlInstance] = []
+        for sys_cfg in cfg.systems.values():
+            inst = ControlInstance(sys_cfg, self.scheduler, self.bus,
+                                   cfg.site_uuid)
+            self.instances.append(inst)
+        needed = {(_i.source_idx, _i.cls) for _i in self.instances
+                  if _i.source_idx is not None}
+        for src_idx in cfg.sources:
+            needed.add((src_idx, _CLS_ANALOG))   # voice
+            needed.add((src_idx, _CLS_C4FM))     # digital voice dibits
+        for src_idx, cls in sorted(needed, key=str):
+            self._make_pipeline(src_idx, cls)
+
+        self.recorders = RecorderManager(self.bus, self.scheduler,
+                                         audio_dir=cfg.audio_dir,
+                                         keep_wav=keep_wav)
+        self.metadata = MetadataAgent(self.bus, self.get_instance)
+        self.call_managers = {}
+        types = {s.type for s in cfg.systems.values()}
+        for t, klass in (("p25", P25CallManager), ("moto", MotoCallManager),
+                         ("edacs", EdacsCallManager)):
+            if t in types:
+                self.call_managers[t] = klass(self.bus, self.get_instance)
+        for inst in self.instances:
+            t = inst.cfg.type
+            if t in self.call_managers:
+                self.call_managers[t].notify_demod_new(t,
+                                                       inst.instance_uuid)
+            self.recorders.notify_demod_new(t, inst.instance_uuid)
+            self.metadata.notify_demod_new(t, inst.instance_uuid)
+        self.blocks = 0
+        self._last_quality = time.time()
+
+    # ---- presence-backed instance lookup (redis_demod_manager role) ----
+    def get_instance(self, instance_uuid: str) -> dict | None:
+        for inst in self.instances:
+            if inst.instance_uuid == instance_uuid:
+                return inst.presence_record()
+        return None
+
+    def _make_pipeline(self, src_idx: int, cls: str) -> None:
+        src = self.cfg.sources[src_idx]
+        n = self.cfg.num_slots_per_source
+        if cls == _CLS_C4FM:
+            p = ControlPipeline.p25_c4fm(n, src.samp_rate)
+        elif cls == _CLS_EDACS:
+            p = ControlPipeline.edacs(n, src.samp_rate)
+        elif cls == _CLS_MOTO:
+            p = ControlPipeline.moto(n, src.samp_rate)
+        elif cls == _CLS_CQPSK:
+            p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate)
+        else:
+            p = AnalogVoicePipeline(n, src.samp_rate)
+        self.pipelines[(src_idx, cls)] = p
+        self.pipe_state[(src_idx, cls)] = p.init()
+
+    def block_len(self, src_idx: int) -> int:
+        src = self.cfg.sources[src_idx]
+        any_pipe = next(p for (s, _), p in self.pipelines.items()
+                        if s == src_idx)
+        decim = any_pipe.decim
+        n = int(src.samp_rate * self.cfg.block_seconds)
+        return max(decim, (n // decim) * decim)
+
+    # ---- main loop ----
+    def step(self) -> None:
+        """Process one block from every source."""
+        for src_idx in self.cfg.sources:
+            x = self.providers[src_idx](self.block_len(src_idx))
+            if x is None:
+                continue
+            if np.iscomplexobj(x):
+                x = np.stack([x.real, x.imag], -1).astype(np.float32)
+            offs = self.scheduler.offsets_norm(src_idx)
+            outputs: dict[str, tuple] = {}
+            for (s, cls), pipe in self.pipelines.items():
+                if s != src_idx:
+                    continue
+                st, out = pipe.step(self.pipe_state[(s, cls)], x, offs)
+                self.pipe_state[(s, cls)] = st
+                outputs[cls] = out
+            # control instances
+            for inst in self.instances:
+                if inst.source_idx != src_idx or inst.slot is None:
+                    continue
+                out = outputs.get(inst.cls)
+                if out is None:
+                    continue
+                syms, valid, dibits = out
+                v = np.asarray(valid[inst.slot]).astype(bool)
+                inst.feed(np.asarray(dibits[inst.slot])[v])
+            # voice recorders
+            audio, power = outputs.get(_CLS_ANALOG, (None, None))
+            dig = outputs.get(_CLS_C4FM)
+            self.recorders.feed_source_block(
+                src_idx, audio=audio, power=power,
+                dibits=None if dig is None else dig[2],
+                valid=None if dig is None else dig[1])
+        self.recorders.heartbeat_clients()
+        for inst in self.instances:
+            self.scheduler.heartbeat(inst.client)
+        for cm in self.call_managers.values():
+            cm.sweep()
+        self.scheduler.reap()
+        self.blocks += 1
+        now = time.time()
+        if now - self._last_quality >= 10.0:     # quality window
+            dt = now - self._last_quality
+            for inst in self.instances:
+                inst.engine.record_quality(dt, inst.engine.DESIRED_RATE)
+            self._last_quality = now
+        self.publish_presence()
+
+    def publish_presence(self) -> None:
+        for inst in self.instances:
+            self.store.publish(f"demod:{inst.cfg.type}",
+                               inst.instance_uuid, inst.presence_record())
+
+    def run(self, n_blocks: int | None = None,
+            duration_s: float | None = None) -> None:
+        t0 = time.time()
+        while True:
+            if n_blocks is not None and self.blocks >= n_blocks:
+                return
+            if duration_s is not None and time.time() - t0 > duration_s:
+                return
+            self.step()
+
+    def close(self) -> None:
+        self.recorders.close_all()
+        if isinstance(self.bus, InProcBus):
+            # give worker threads a beat to flush call_complete events
+            time.sleep(0.1)
+        self.bus.close()
+
+
+class FileSource:
+    """Block provider over a complex64 capture file (loops when
+    exhausted unless ``loop=False``)."""
+
+    def __init__(self, path_or_array, loop: bool = True):
+        self.data = (np.fromfile(path_or_array, np.complex64)
+                     if isinstance(path_or_array, str) else
+                     np.asarray(path_or_array, np.complex64))
+        self.pos = 0
+        self.loop = loop
+
+    def __call__(self, n: int):
+        if self.pos + n > len(self.data):
+            if not self.loop:
+                return None
+            self.pos = 0
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out if len(out) == n else None
+
+
+def main(argv=None):
+    import argparse
+    from radiocapture_tpu.rxconfig import load_config
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--blocks", type=int, default=None)
+    ap.add_argument("--duration", type=float, default=None)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_config(args.config)
+    providers = {}
+    for idx, src in cfg.sources.items():
+        if src.type != "file":
+            raise SystemExit("CLI runtime supports file sources; wire "
+                             "hardware ingest via SiteRuntime directly")
+        providers[idx] = FileSource(src.args)
+    rt = SiteRuntime(cfg, providers)
+    try:
+        rt.run(n_blocks=args.blocks, duration_s=args.duration)
+    finally:
+        rt.close()
+
+
+if __name__ == "__main__":
+    main()

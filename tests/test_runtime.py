@@ -1,0 +1,131 @@
+"""SiteRuntime end to end: config → capture loop → grant → recorded
+call, entirely from synthetic IQ (the reference's overseer-driven
+grant→record path, SURVEY.md §3.2-3.4, with no per-process plumbing)."""
+
+import glob
+import os
+import time
+
+import numpy as np
+import pytest
+
+from radiocapture_tpu.fec import bits as B
+from radiocapture_tpu.protocol import p25 as P
+from radiocapture_tpu.runtime import SiteRuntime, FileSource
+from radiocapture_tpu.rxconfig import (RcConfig, SourceConfig,
+                                       SystemConfig, load_config)
+from radiocapture_tpu.testing import modulators as M
+
+SAMP = 2.4e6
+CENTER = 857.0e6
+CC = 857.5e6
+VC = 856.2e6              # IDEN base → channel number 0 (in-span)
+
+
+def _wideband_capture(n_grants=8):
+    """Control channel repeating IDEN_UP + a grant for channel 0x1000,
+    plus an NBFM voice carrier on that channel's frequency."""
+    iden = P.pack_tsbk("IDEN_UP", **{
+        "Identifier": 1, "BW": 100,
+        "Base Frequency": int(VC / 5), "Channel Spacing": 50,
+        "Transmit Offset": 0x1B4})
+    grant = P.pack_tsbk("GRP_V_CH_GRANT", last_block=True, **{
+        "Channel": 0x1000, "Group Address": 500, "Source Address": 42})
+    frames = [P.build_tsdu_frame(0x293, [iden]),
+              P.build_tsdu_frame(0x293, [grant])] * n_grants
+    cc_iq = M.c4fm_modulate(B.bits_to_dibits(np.concatenate(frames)),
+                            fs=25000.0)
+    cc_up = M.upsample_to(cc_iq, 25000.0, SAMP)
+
+    # Voice channel: C4FM LDU1 stream carrying IMBE codewords from the
+    # native encoder (decoded back by the native vocoder while recording).
+    from radiocapture_tpu.audio import imbe as I
+    enc = I.ImbeEncoder()
+    vc_cw = enc.encode_params(b0=90, voicing=0xFFF, gain=42, amps=[3] * 56)
+    vcs = np.stack([vc_cw] * 9)
+    lc = P.make_link_control(0x0, tgid=500, source_id=42)
+    ldus = [P.build_ldu1_frame(0x293, lc, vcs) for _ in range(12)]
+    vc_c4fm = M.c4fm_modulate(B.bits_to_dibits(np.concatenate(ldus)),
+                              fs=25000.0)
+    vc_iq = M.upsample_to(vc_c4fm, 25000.0, SAMP)
+    n = len(cc_up)
+    return M.multi_channel(SAMP, [(CC - CENTER, cc_up),
+                                  (VC - CENTER, vc_iq)], n,
+                           noise_floor_db=-60.0)
+
+
+@pytest.fixture(scope="module")
+def capture():
+    return _wideband_capture()
+
+
+def _config(tmp_path):
+    cfg = RcConfig()
+    cfg.audio_dir = str(tmp_path / "audio")
+    cfg.num_slots_per_source = 16
+    cfg.block_seconds = 0.05
+    cfg.sources[0] = SourceConfig(type="file", center_freq=CENTER,
+                                  samp_rate=SAMP)
+    cfg.systems[0] = SystemConfig(type="p25", id="TestSys",
+                                  modulation="C4FM",
+                                  control_channels=[CC])
+    return cfg
+
+
+def test_runtime_grant_to_recording(tmp_path, capture):
+    from radiocapture_tpu.audio import imbe as I
+    from radiocapture_tpu.audio.recorder import set_default_vocoder
+    I.install_default()
+    cfg = _config(tmp_path)
+    rt = SiteRuntime(cfg, {0: FileSource(capture)}, keep_wav=True)
+    completed = []
+    rt.bus.subscribe("/queue/call_management/call_complete",
+                     completed.append)
+    try:
+        inst = rt.instances[0]
+        assert inst.control_channel == CC
+        n_blocks = int(len(capture)
+                       // rt.block_len(0)) - 1
+        rt.run(n_blocks=min(n_blocks, 40))
+        assert inst.engine.is_locked
+        # the grant opened a recorder on the voice channel
+        assert len(rt.recorders.active) == 1
+        (rec, src, slot, _bid, kind), = rt.recorders.active.values()
+        assert kind == "p25"        # C4FM system + FDMA IDEN
+    finally:
+        rt.close()
+        set_default_vocoder(None)
+    deadline = time.time() + 3.0
+    while not completed and time.time() < deadline:
+        time.sleep(0.05)
+    assert completed, "no call_complete event"
+    cdr = completed[0]["cdr"]
+    assert cdr["system_group_local"] == 500
+    assert cdr["system_user_local"] == 42
+    wavs = glob.glob(os.path.join(cfg.audio_dir, "**", "*.wav"),
+                     recursive=True)
+    assert wavs, "no recording written"
+    from radiocapture_tpu.audio.wav import read_wav
+    pcm, rate = read_wav(wavs[0])
+    assert rate == 8000 and len(pcm) > 1000
+
+
+def test_runtime_presence_and_quality(tmp_path, capture):
+    cfg = _config(tmp_path)
+    rt = SiteRuntime(cfg, {0: FileSource(capture)})
+    try:
+        rt.run(n_blocks=10)
+        live = rt.store.live("demod:p25", ttl=60.0)
+        assert rt.instances[0].instance_uuid in live
+        rec = live[rt.instances[0].instance_uuid]
+        assert rec["control_channel"] == CC
+        assert rec["type"] == "p25"
+    finally:
+        rt.close()
+
+
+def test_example_config_loads():
+    cfg = load_config("configs/config_example_file.py")
+    assert cfg.sources[0].samp_rate == 2.4e6
+    assert cfg.systems[0].type == "p25"
+    assert cfg.systems[0].control_channels == [857.5e6]
