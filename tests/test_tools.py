@@ -1,0 +1,66 @@
+"""Ops tools: audio GC/migration and the terminal spectrum scope
+(reference audio/cleanup.sh, migrate-audio.sh, util/diag_scope.py)."""
+
+import os
+import time
+
+import numpy as np
+
+from radiocapture_tpu.testing import modulators as M
+from radiocapture_tpu.tools import audio_gc as G
+from radiocapture_tpu.tools.diag_scope import scope, render_spectrum
+
+
+def _touch(path, age_days=0.0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"x")
+    if age_days:
+        old = time.time() - age_days * 86400
+        os.utime(path, (old, old))
+
+
+def test_audio_gc_migrate_and_prune(tmp_path):
+    audio = str(tmp_path / "audio")
+    perm = str(tmp_path / "perm")
+    _touch(f"{audio}/2026/08/18/04/i1/500/call1.mp3")
+    _touch(f"{audio}/2026/08/18/04/i1/500/call1.tags.json")
+    _touch(f"{audio}/2026/08/18/04/i1/500/fresh.wav", age_days=0.0)
+    _touch(f"{audio}/2026/08/17/22/i1/500/stale.wav", age_days=2.0)
+    _touch(f"{audio}/2026/08/17/22/i1/500/stale.dat", age_days=2.0)
+
+    moved = G.migrate_mp3s(audio, perm)
+    assert sorted(moved) == ["2026/08/18/04/i1/500/call1.mp3",
+                             "2026/08/18/04/i1/500/call1.tags.json"]
+    assert os.path.exists(f"{perm}/2026/08/18/04/i1/500/call1.mp3")
+    assert not os.path.exists(f"{audio}/2026/08/18/04/i1/500/call1.mp3")
+
+    removed = G.gc_stale(audio, max_age_days=1.0)
+    assert sorted(removed) == ["2026/08/17/22/i1/500/stale.dat",
+                               "2026/08/17/22/i1/500/stale.wav"]
+    assert os.path.exists(f"{audio}/2026/08/18/04/i1/500/fresh.wav")
+
+    pruned = G.prune_empty_dirs(audio)
+    assert pruned >= 4
+    assert not os.path.exists(f"{audio}/2026/08/17")
+
+
+def test_diag_scope_renders_carrier():
+    fs = 400e3
+    iq = M.tone(fs, 50e3, 4096 * 8, amp=1.0)
+    iq = M.awgn(iq, 30)
+    out = scope(iq, fs, center_freq=857e6, fft_len=4096, frames=8,
+                width=80)
+    line, label = out.split("\n")
+    assert len(line) == 80
+    assert "856.800 MHz" in label and "857.200 MHz" in label
+    # carrier at +50 kHz of a 400 kHz span → (50+200)/400 = 62.5% across
+    peak_col = max(range(80), key=lambda i: " ▁▂▃▄▅▆▇█".index(line[i]))
+    assert 46 <= peak_col <= 54, (peak_col, line)
+
+
+def test_render_spectrum_flat_noise_is_quiet():
+    rng = np.random.default_rng(0)
+    spec = rng.normal(-80, 0.1, 4096)
+    line = render_spectrum(spec, width=50)
+    assert set(line) <= set(" ▁▂▃")
