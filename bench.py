@@ -23,9 +23,12 @@ def main():
 
     dev = jax.devices()[0]
 
-    # 8 sources x 2.4 MS/s = 19.2 MS/s per step-call batch; 64 slots each
-    # (512 concurrent control/voice channels), 100 ms blocks.
-    n_sources = 8
+    # 32 sources x 2.4 MS/s = 76.8 MS/s per step-call batch; 64 slots
+    # each (2048 concurrent control/voice channels), 100 ms blocks. The
+    # scan kernel is latency-bound, not lane-bound, so widening the
+    # batch is nearly free until the channelizer matmul saturates
+    # (measured knee on v5e: ~32 sources).
+    n_sources = 32
     samp_rate = 2.4e6
     num_slots = 64
     pipe = ControlPipeline.p25_c4fm(num_slots=num_slots,
