@@ -105,10 +105,22 @@ class XlatBank:
         # Polyphase framing: z[nD + pD + dd] for n∈[N), p∈[P), dd∈[D) —
         # P shifted row-views of the [N+P-1, D] reshape, no gather.
         zf = z[: n_out * d + k - d].reshape(n_out + p - 1, d)
-        w = jnp.concatenate([zf[q: q + n_out] for q in range(p)],
-                            axis=1)                      # [N, P·D] = [N, K]
-        # One complex matmul on the MXU: [N, K] x [K, C].
-        y = (w @ grev.T).T.astype(jnp.complex64)         # [C, N]
+        from radiocapture_tpu.ops import pallas_channelizer as _pk
+        if _pk.pallas_supported(n_out, p, d, c):
+            # Fused VMEM-resident accumulation of the P shifted
+            # sub-matmuls — reads every input element from HBM once
+            # instead of materializing the N×K window matrix.
+            grev_t = grev.T                              # [K, C]
+            y_re, y_im = _pk.bank_matmul_pallas(
+                jnp.real(zf), jnp.imag(zf),
+                jnp.real(grev_t).astype(jnp.float32),
+                jnp.imag(grev_t).astype(jnp.float32), p, d)
+            y = jax.lax.complex(y_re, y_im).T            # [C, N]
+        else:
+            w = jnp.concatenate([zf[q: q + n_out] for q in range(p)],
+                                axis=1)                  # [N, P·D] = [N, K]
+            # One complex matmul on the MXU: [N, K] x [K, C].
+            y = (w @ grev.T).T.astype(jnp.complex64)     # [C, N]
         # Per-slot mixer phase ramp, exact uint32 fixed-point (see
         # ops.fir._phase_step_u32): bit-exact across block splits.
         step = _phase_step_u32(offsets_norm, d)           # [C] uint32

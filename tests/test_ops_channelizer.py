@@ -96,6 +96,27 @@ def test_pfb_channelizer_tone_routing():
     assert p_quiet < 1e-4 * p_sig
 
 
+def test_pallas_bank_matmul_parity(rng):
+    """Interpret-mode Pallas bank kernel vs the dense matmul, including a
+    ragged last N-tile and the cross-tile halo rows."""
+    from radiocapture_tpu.ops import pallas_channelizer as pk
+
+    for n_out, p, d, c in [(2500, 30, 96, 64), (40, 5, 8, 16)]:
+        zr = rng.standard_normal((n_out + p - 1, d)).astype(np.float32)
+        zi = rng.standard_normal((n_out + p - 1, d)).astype(np.float32)
+        gr = rng.standard_normal((p * d, c)).astype(np.float32)
+        gi = rng.standard_normal((p * d, c)).astype(np.float32)
+        yr, yi = pk.bank_matmul_pallas(
+            jnp.asarray(zr), jnp.asarray(zi), jnp.asarray(gr),
+            jnp.asarray(gi), p, d, interpret=True)
+        w_r = np.concatenate([zr[q: q + n_out] for q in range(p)], axis=1)
+        w_i = np.concatenate([zi[q: q + n_out] for q in range(p)], axis=1)
+        np.testing.assert_allclose(np.asarray(yr), w_r @ gr - w_i @ gi,
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(yi), w_r @ gi + w_i @ gr,
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_pfb_block_split(rng):
     fs = 800_000.0
     m = 8
