@@ -45,13 +45,26 @@ class CallManagerBase:
     def __init__(self, bus, get_instance: Callable[[str], dict | None],
                  now_fn: Callable[[], float] = time.time,
                  publish_call_table: Callable[[str, dict], None]
-                 | None = None):
+                 | None = None,
+                 blacklists: dict | None = None,
+                 whitelists: dict | None = None):
+        """``blacklists``/``whitelists``: {system key: iterable of
+        talkgroups} keyed by system_uuid or the config's numeric/string
+        system id — the reference's ``config.blacklists`` vocabulary
+        (config_denver_realistic_p25.py:273-364; stored but never
+        enforced in the reference's live path, so the semantics here are
+        the documented intent: blacklisted groups are never recorded, and
+        with a whitelist present only listed groups are)."""
         self.log = logging.getLogger(
             f"overseer.{self.demod_type}_call_manager")
         self.bus = bus
         self.get_instance = get_instance
         self.now = now_fn
         self.publish_call_table = publish_call_table or (lambda i, t: None)
+        self.blacklists = {k: frozenset(v)
+                           for k, v in (blacklists or {}).items()}
+        self.whitelists = {k: frozenset(v)
+                           for k, v in (whitelists or {}).items()}
         self.instance_metadata: dict[str, dict] = {}
         self.system_metadata: dict[str, dict] = {}
         self._locks: dict[str, threading.RLock] = {}
@@ -112,6 +125,22 @@ class CallManagerBase:
             if not entry.get("instances"):
                 sct.pop(call_uuid, None)
 
+    def group_filtered(self, instance_uuid: str, group_address: int) -> bool:
+        """True if this talkgroup must not be recorded on this system."""
+        if not (self.blacklists or self.whitelists):
+            return False
+        inst = self.get_instance(instance_uuid) or {}
+        keys = [k for k in (inst.get("system_uuid"),
+                            inst.get("system_id_local")) if k is not None]
+        for k in keys:
+            if group_address in self.blacklists.get(k, ()):
+                return True
+        for k in keys:
+            wl = self.whitelists.get(k)
+            if wl is not None:
+                return group_address not in wl
+        return False
+
     # ---- the core grant state machine ----
     def call_user_to_group(self, instance_uuid: str, channel_key,
                            group_address: int, user_address: int = 0,
@@ -125,6 +154,10 @@ class CallManagerBase:
         channel word / Moto+EDACS frequency); ``frequency`` the absolute
         Hz to record (defaults to channel_key for freq-keyed protocols).
         """
+        if self.group_filtered(instance_uuid, group_address):
+            self.log.debug("FILTERED: %s group %s", instance_uuid,
+                           group_address)
+            return False
         with self._lock(instance_uuid):
             tabs = self._tables(instance_uuid)
             if tabs is None:

@@ -35,9 +35,22 @@ import numpy as np
 
 from radiocapture_tpu.demod import cqpsk as _cqpsk
 from radiocapture_tpu.demod import fsk4 as _fsk4
-from radiocapture_tpu.ops.channelizer import XlatBank, XlatBankState
+from radiocapture_tpu.ops.channelizer import (XlatBank, XlatBankState,
+                                              PfbXlatBank)
 from radiocapture_tpu.ops import fm as _fm
 from radiocapture_tpu.utils import wire as _wire
+
+
+def _make_bank(frontend: str, num_slots: int, samp_rate: float,
+               channel_rate: float):
+    """Channel-extraction stage per config ``frontend_mode``
+    (rc_frontend/receiver.py:242: 'xlat' per-channel filters, 'pfb'
+    coarse polyphase bins + fine xlat)."""
+    if frontend == "pfb":
+        return PfbXlatBank(num_slots, samp_rate, channel_rate)
+    if frontend == "xlat":
+        return XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+    raise ValueError(f"unknown frontend_mode {frontend!r}")
 
 
 def _batched_fir(hist: jax.Array, x: jax.Array, taps: jax.Array
@@ -71,13 +84,15 @@ class ControlPipeline:
                  channel_rate: float = 12500.0,
                  symbol_rate: float = 4800.0,
                  levels: tuple = (-3.0, -1.0, 1.0, 3.0),
-                 deviation_hz: float = 600.0):
+                 deviation_hz: float = 600.0,
+                 frontend: str = "xlat"):
         self.num_slots = num_slots
         self.samp_rate = float(samp_rate)
         self.channel_rate = float(channel_rate)
         self.symbol_rate = float(symbol_rate)
         self.levels = tuple(levels)
-        self.bank = XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+        self.bank = _make_bank(frontend, num_slots, samp_rate,
+                               channel_rate)
         self.channel_fs = self.samp_rate / self.bank.decim
         # Discriminator gain maps ±deviation to the outer slicer levels
         # (reference symbol scaling: p25_control_demod.py:118-127).
@@ -95,22 +110,25 @@ class ControlPipeline:
 
     # -- constructors matching the three reference control-channel classes
     @classmethod
-    def p25_c4fm(cls, num_slots: int, samp_rate: float) -> "ControlPipeline":
+    def p25_c4fm(cls, num_slots: int, samp_rate: float,
+                 frontend: str = "xlat") -> "ControlPipeline":
         return cls(num_slots, samp_rate, 12500.0, 4800.0,
-                   (-3.0, -1.0, 1.0, 3.0), 600.0)
+                   (-3.0, -1.0, 1.0, 3.0), 600.0, frontend=frontend)
 
     @classmethod
-    def edacs(cls, num_slots: int, samp_rate: float) -> "ControlPipeline":
+    def edacs(cls, num_slots: int, samp_rate: float,
+              frontend: str = "xlat") -> "ControlPipeline":
         # 9600 Bd binary FSK; discriminator scaled so ±dev → ±1
         # (edacs_control_demod.py:81-90 quad gain 5 ≈ fs/2π·800 at 25 kS/s).
         return cls(num_slots, samp_rate, 12500.0, 9600.0,
-                   (-1.0, 1.0), 4000.0)
+                   (-1.0, 1.0), 4000.0, frontend=frontend)
 
     @classmethod
-    def moto(cls, num_slots: int, samp_rate: float) -> "ControlPipeline":
+    def moto(cls, num_slots: int, samp_rate: float,
+             frontend: str = "xlat") -> "ControlPipeline":
         # 3600 Bd binary FSK (moto_control_demod.py:105-115).
         return cls(num_slots, samp_rate, 12500.0, 3600.0,
-                   (-1.0, 1.0), 4000.0)
+                   (-1.0, 1.0), 4000.0, frontend=frontend)
 
     @property
     def decim(self) -> int:
@@ -190,22 +208,25 @@ class CqpskControlPipeline:
 
     def __init__(self, num_slots: int, samp_rate: float,
                  channel_rate: float = 12500.0,
-                 symbol_rate: float = 4800.0):
+                 symbol_rate: float = 4800.0,
+                 frontend: str = "xlat"):
         self.num_slots = num_slots
         self.samp_rate = float(samp_rate)
         self.channel_rate = float(channel_rate)
         self.symbol_rate = float(symbol_rate)
-        self.bank = XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+        self.bank = _make_bank(frontend, num_slots, samp_rate,
+                               channel_rate)
         self.channel_fs = self.samp_rate / self.bank.decim
         self._state_spec = _wire.abstract(self._init_decoded)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     @classmethod
     def p25_cqpsk(cls, num_slots: int, samp_rate: float,
-                  tdma: bool = False) -> "CqpskControlPipeline":
+                  tdma: bool = False,
+                  frontend: str = "xlat") -> "CqpskControlPipeline":
         # TDMA voice channels run 6000 Bd (logging_receiver.py:285-287).
         return cls(num_slots, samp_rate, 12500.0,
-                   6000.0 if tdma else 4800.0)
+                   6000.0 if tdma else 4800.0, frontend=frontend)
 
     @property
     def decim(self) -> int:
@@ -267,10 +288,12 @@ class AnalogVoicePipeline:
     """
 
     def __init__(self, num_slots: int, samp_rate: float,
-                 channel_rate: float = 12500.0, max_dev: float = 5000.0):
+                 channel_rate: float = 12500.0, max_dev: float = 5000.0,
+                 frontend: str = "xlat"):
         self.num_slots = num_slots
         self.samp_rate = float(samp_rate)
-        self.bank = XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+        self.bank = _make_bank(frontend, num_slots, samp_rate,
+                               channel_rate)
         self.channel_fs = self.samp_rate / self.bank.decim
         self.max_dev = float(max_dev)
         from radiocapture_tpu.ops import taps as _taps
@@ -318,3 +341,49 @@ class AnalogVoicePipeline:
              offsets_norm: jax.Array):
         """x: [T] → (state, (audio [C, T//decim], power [C]))."""
         return self._step(state, x, offsets_norm)
+
+
+class SpectrumSplit2:
+    """``receiver_split2`` mode: one wideband source → two half-rate
+    sources centered at ∓fs/4 (reference rc_frontend/receiver.py:205-237,
+    a pair of ``freq_xlating_fir_filter_ccc(decim=2, ±fs/4)``).
+
+    In the reference this spreads one dongle's stream across two CPU
+    flowgraph pools; here it is the first stage of a radix channelizer
+    tree (SURVEY.md §2.2) — both halves come out of one 2-slot
+    ``XlatBank`` step, and each half then feeds its own batched pipeline
+    as an independent logical source. Tap design matches the reference:
+    ``firdes.low_pass(1, fs, (fs/2)/2, 0.5·(fs/2)/2)``.
+    """
+
+    def __init__(self, samp_rate: float):
+        from radiocapture_tpu.ops import taps as _taps
+        self.samp_rate = float(samp_rate)
+        channel_rate = (samp_rate / 2.0) / 2.0
+        taps = _taps.low_pass(1.0, samp_rate, channel_rate,
+                              0.5 * channel_rate)
+        self.bank = XlatBank(2, 2, taps)
+        # Halves at center - fs/4 (index 0) and center + fs/4 (index 1),
+        # the reference's newsource1/newsource2 ordering.
+        self._offsets = np.array([-0.25, 0.25], np.float32)
+        self._state_spec = _wire.abstract(self.bank.init)
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def init(self):
+        return _wire.zeros(_wire.encode(self._state_spec))
+
+    def half_center(self, center_freq: float, idx: int) -> float:
+        return center_freq + (idx * 2 - 1) * self.samp_rate / 4.0
+
+    def _step_impl(self, wire_state, x: jax.Array):
+        state = _wire.decode(wire_state, self._state_spec)
+        if not jnp.iscomplexobj(x):
+            x = jax.lax.complex(x[..., 0], x[..., 1])
+        st, y = self.bank(state, x, jnp.asarray(self._offsets))  # [2, T/2]
+        return _wire.encode(st), jnp.stack(
+            [jnp.real(y), jnp.imag(y)], axis=-1)     # [2, T/2, 2] f32
+
+    def step(self, state, x):
+        """x: [T] complex64 or [T, 2] float32, T % 2 == 0 →
+        (state, halves [2, T//2, 2] float32 re/im)."""
+        return self._step(state, x)

@@ -199,3 +199,68 @@ class PfbChannelizer:
     def channel_offset_hz(self, c: int, samp_rate: float) -> float:
         m = self.num_channels
         return ((c + m // 2) % m - m // 2) * samp_rate / m
+
+
+class PfbXlatBankState(NamedTuple):
+    pfb: PfbState
+    fine: object    # vmapped XlatState: history [C, K2-1], phase [C]
+
+
+class PfbXlatBank:
+    """'pfb' frontend mode: coarse PFB into ``bin_rate`` bins, then a
+    per-slot fine freq-xlating FIR from each slot's bin — the TPU-native
+    form of the reference's two-stage pfb path where ``channelizer_ccf``
+    bins at 400 kS/s feed per-channel xlat flowgraphs at ``pfb_offset =
+    offset - chan·pfb_samp_rate`` (rc_frontend/receiver.py:242-261,
+    343-423). Drop-in for :class:`XlatBank` in the capture pipelines:
+    same ``(state, x, offsets_norm) -> (state, y[C, T//decim])``
+    contract, slot retunes are runtime data (bin index and fine offset
+    are computed from ``offsets_norm`` inside the step).
+    """
+
+    def __init__(self, num_slots: int, samp_rate: float,
+                 channel_rate: float, bin_rate: float = 400e3,
+                 out_per_channel_rate: float | None = None):
+        from radiocapture_tpu.ops import fir as _fir
+        m = int(round(samp_rate / bin_rate))
+        if abs(samp_rate - m * bin_rate) > 1e-3:
+            raise ValueError("samp_rate not round enough"  # reference
+                             f" for {bin_rate} Hz bins: {samp_rate}")
+        self.num_slots = num_slots
+        self.samp_rate = float(samp_rate)
+        self.bin_rate = float(bin_rate)
+        self.m = m
+        self.pfb = PfbChannelizer.for_rates(samp_rate, m, atten_db=80.0)
+        out_rate = out_per_channel_rate or 2.0 * channel_rate
+        self.decim2 = int(round(bin_rate / out_rate))
+        self.decim = m * self.decim2
+        self.fine_taps = np.asarray(_taps.low_pass_2(
+            1.0, bin_rate, channel_rate / 2.0, 0.25 * channel_rate, 60.0),
+            np.float32)
+        self.ntaps2 = len(self.fine_taps)
+        self._fine = jax.vmap(_fir.freq_xlating_fir,
+                              in_axes=(0, 0, None, 0, None))
+
+    def init(self) -> PfbXlatBankState:
+        from radiocapture_tpu.ops import fir as _fir
+        fine = jax.tree.map(
+            lambda l: jnp.broadcast_to(l, (self.num_slots,) + l.shape),
+            _fir.xlat_init(self.ntaps2))
+        return PfbXlatBankState(pfb=self.pfb.init(), fine=fine)
+
+    def __call__(self, state: PfbXlatBankState, x: jax.Array,
+                 offsets_norm: jax.Array
+                 ) -> tuple[PfbXlatBankState, jax.Array]:
+        """x: [T] complex64, T % (M·decim2) == 0; offsets_norm [C]
+        cycles/input-sample → y [C, T // decim] complex64."""
+        ps, bins = self.pfb(state.pfb, x)                # [M, T/M]
+        # Slot → bin routing (reference chan = round(offset/pfb_rate),
+        # negative wraps by +num_channels; rc_frontend/receiver.py:394-400).
+        cyc_per_bin = offsets_norm * jnp.float32(self.m)  # cycles/bin-sample
+        chan = jnp.round(cyc_per_bin).astype(jnp.int32)
+        fine_norm = cyc_per_bin - chan.astype(jnp.float32)
+        sel = bins[jnp.mod(chan, self.m)]                # [C, T/M]
+        fs, y = self._fine(state.fine, sel,
+                           jnp.asarray(self.fine_taps), fine_norm,
+                           self.decim2)                  # [C, T/decim]
+        return PfbXlatBankState(pfb=ps, fine=fs), y.astype(jnp.complex64)

@@ -129,6 +129,7 @@ class ControlInstance:
         return {
             "instance_uuid": self.instance_uuid,
             "system_uuid": self.cfg.system_uuid,
+            "system_id_local": self.cfg.id,
             "transmit_site_uuid": self.cfg.transmit_site_uuid,
             "site_uuid": self.site_uuid,
             "type": self.cfg.type,
@@ -152,6 +153,8 @@ class SiteRuntime:
                            if cfg.redis_servers else InProcBus())
         self.store = store or PresenceStore()
         self.providers = iq_providers
+        if cfg.receiver_split2:
+            self._apply_split2()
         self.scheduler = ChannelScheduler(
             {i: (s.center_freq, s.samp_rate)
              for i, s in cfg.sources.items()},
@@ -176,12 +179,27 @@ class SiteRuntime:
                                          audio_dir=cfg.audio_dir,
                                          keep_wav=keep_wav)
         self.metadata = MetadataAgent(self.bus, self.get_instance)
+        # Talkgroup filters: reference-style cfg.blacklists (keyed by
+        # system id) merged with per-system blacklist/whitelist fields.
+        blacklists = {k: set(v) for k, v in (cfg.blacklists or {}).items()}
+        whitelists = {}
+        for s in cfg.systems.values():
+            if s.blacklist:
+                blacklists.setdefault(s.system_uuid, set()).update(
+                    s.blacklist)
+            if s.id in blacklists:
+                blacklists.setdefault(s.system_uuid, set()).update(
+                    blacklists[s.id])
+            if s.whitelist is not None:
+                whitelists[s.system_uuid] = set(s.whitelist)
         self.call_managers = {}
         types = {s.type for s in cfg.systems.values()}
         for t, klass in (("p25", P25CallManager), ("moto", MotoCallManager),
                          ("edacs", EdacsCallManager)):
             if t in types:
-                self.call_managers[t] = klass(self.bus, self.get_instance)
+                self.call_managers[t] = klass(self.bus, self.get_instance,
+                                              blacklists=blacklists,
+                                              whitelists=whitelists)
         for inst in self.instances:
             t = inst.cfg.type
             if t in self.call_managers:
@@ -191,6 +209,29 @@ class SiteRuntime:
             self.metadata.notify_demod_new(t, inst.instance_uuid)
         self.blocks = 0
         self._last_quality = time.time()
+
+    def _apply_split2(self) -> None:
+        """``receiver_split2``: rewrite every physical source into two
+        half-rate logical sources at center ∓ fs/4, fed through one
+        jitted :class:`SpectrumSplit2` step per physical source
+        (reference rc_frontend/receiver.py:205-237)."""
+        from dataclasses import replace as _replace
+        from radiocapture_tpu.frontend.pipeline import SpectrumSplit2
+        new_sources, new_providers = {}, {}
+        for phys_idx, src in sorted(self.cfg.sources.items(), key=str):
+            splitter = _Split2Provider(self.providers[phys_idx],
+                                       SpectrumSplit2(src.samp_rate))
+            for half in (0, 1):
+                idx = len(new_sources)
+                new_sources[idx] = _replace(
+                    src,
+                    center_freq=splitter.split.half_center(
+                        src.center_freq, half),
+                    samp_rate=src.samp_rate / 2.0,
+                    frequency=None)
+                new_providers[idx] = splitter.half(half)
+        self.cfg.sources = new_sources
+        self.providers = new_providers
 
     # ---- presence-backed instance lookup (redis_demod_manager role) ----
     def get_instance(self, instance_uuid: str) -> dict | None:
@@ -202,16 +243,18 @@ class SiteRuntime:
     def _make_pipeline(self, src_idx: int, cls: str) -> None:
         src = self.cfg.sources[src_idx]
         n = self.cfg.num_slots_per_source
+        fe = self.cfg.frontend_mode
         if cls == _CLS_C4FM:
-            p = ControlPipeline.p25_c4fm(n, src.samp_rate)
+            p = ControlPipeline.p25_c4fm(n, src.samp_rate, frontend=fe)
         elif cls == _CLS_EDACS:
-            p = ControlPipeline.edacs(n, src.samp_rate)
+            p = ControlPipeline.edacs(n, src.samp_rate, frontend=fe)
         elif cls == _CLS_MOTO:
-            p = ControlPipeline.moto(n, src.samp_rate)
+            p = ControlPipeline.moto(n, src.samp_rate, frontend=fe)
         elif cls == _CLS_CQPSK:
-            p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate)
+            p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate,
+                                               frontend=fe)
         else:
-            p = AnalogVoicePipeline(n, src.samp_rate)
+            p = AnalogVoicePipeline(n, src.samp_rate, frontend=fe)
         self.pipelines[(src_idx, cls)] = p
         self.pipe_state[(src_idx, cls)] = p.init()
 
@@ -293,6 +336,38 @@ class SiteRuntime:
             # give worker threads a beat to flush call_complete events
             time.sleep(0.1)
         self.bus.close()
+
+
+class _Split2Provider:
+    """Adapts one physical block provider into two logical half-rate
+    providers sharing a streaming :class:`SpectrumSplit2` state. Each
+    physical block is split once; halves queue until their logical
+    source pulls them."""
+
+    def __init__(self, provider, splitter):
+        self.provider = provider
+        self.split = splitter
+        self.state = splitter.init()
+        self._queues: tuple[list, list] = ([], [])
+
+    def _pump(self, n: int) -> bool:
+        x = self.provider(2 * n)
+        if x is None:
+            return False
+        if np.iscomplexobj(x):
+            x = np.stack([x.real, x.imag], -1).astype(np.float32)
+        self.state, halves = self.split.step(self.state, x)
+        halves = np.asarray(halves)                  # [2, n, 2] f32
+        self._queues[0].append(halves[0])
+        self._queues[1].append(halves[1])
+        return True
+
+    def half(self, idx: int):
+        def pull(n: int):
+            if not self._queues[idx] and not self._pump(n):
+                return None
+            return self._queues[idx].pop(0)
+        return pull
 
 
 class FileSource:

@@ -343,3 +343,57 @@ def test_config_schema_and_loader(tmp_path):
     loaded = load_config(str(p))
     assert loaded.systems[0].esk is True
     assert loaded.systems[0].symbol_rate == 9600.0
+
+
+def test_blacklist_and_whitelist_filter_grants():
+    """Talkgroup filters (config blacklists vocabulary,
+    config_denver_realistic_p25.py:273-364): blacklisted groups never
+    open a call; with a whitelist, only listed groups do."""
+    clock = FakeClock()
+    bus = InProcBus(num_workers=1)
+    inst = {"system_uuid": "sysA", "system_id_local": 0xbee07,
+            "transmit_site_uuid": "siteA", "system_modulation": "C4FM",
+            "site_detail": {}}
+    cm = P25CallManager(bus, lambda u: inst, now_fn=clock,
+                        blacklists={0xbee07: [997, 998]})
+    cm.notify_demod_new("p25", "inst1")
+    cm.process_raw_control("inst1", {
+        "name": "IDEN_UP", "crc": 0, "Identifier": 1,
+        "BW": 12.5, "Base Frequency": 851.00625,
+        "Channel Spacing": 6.25, "Transmit Offset": -45.0})
+    grant = {"name": "GRP_V_CH_GRANT", "crc": 0, "Channel": 0x1064,
+             "Source Address": 777}
+    cm.process_raw_control("inst1", dict(grant, **{"Group Address": 997}))
+    assert not cm.instance_metadata["inst1"]["call_table"]
+    cm.process_raw_control("inst1", dict(grant, **{"Group Address": 5001}))
+    assert len(cm.instance_metadata["inst1"]["call_table"]) == 1
+    bus.close()
+
+    # whitelist keyed by system_uuid: only group 42 passes
+    bus2 = InProcBus(num_workers=1)
+    cm2 = P25CallManager(bus2, lambda u: inst, now_fn=clock,
+                         whitelists={"sysA": [42]})
+    assert cm2.group_filtered("inst1", 41)
+    assert not cm2.group_filtered("inst1", 42)
+    bus2.close()
+
+
+def test_runtime_builds_blacklists_from_config():
+    from radiocapture_tpu.rxconfig import SystemConfig
+    s = SystemConfig(type="p25", id="den", channels={0: 851e6},
+                     blacklist={10, 11})
+    cfg = RcConfig(systems={0: s}, blacklists={"den": [99]},
+                   sources={0: __import__(
+                       "radiocapture_tpu.rxconfig",
+                       fromlist=["SourceConfig"]).SourceConfig(
+                           type="file", center_freq=851e6,
+                           samp_rate=1.2e6)},
+                   num_slots_per_source=4)
+    from radiocapture_tpu.runtime import SiteRuntime
+    rt = SiteRuntime(cfg, iq_providers={0: lambda n: None})
+    cm = rt.call_managers["p25"]
+    u = rt.instances[0].instance_uuid
+    assert cm.group_filtered(u, 10)    # per-system blacklist field
+    assert cm.group_filtered(u, 99)    # reference-style cfg.blacklists
+    assert not cm.group_filtered(u, 12)
+    rt.close()

@@ -10,6 +10,7 @@ resolution, and the call state machine.
 import time
 
 import numpy as np
+import pytest
 
 from radiocapture_tpu.control.bus import InProcBus
 from radiocapture_tpu.control.call_manager import P25CallManager
@@ -25,7 +26,8 @@ CENTER = 857.0e6
 CC_FREQ = 857.5e6
 
 
-def test_wideband_to_new_call():
+@pytest.mark.parametrize("frontend", ["xlat", "pfb"])
+def test_wideband_to_new_call(frontend):
     tsbk_iden = P.pack_tsbk("IDEN_UP", **{
         "Identifier": 1, "BW": 100,
         "Base Frequency": int(851.00625e6 / 5),
@@ -44,7 +46,8 @@ def test_wideband_to_new_call():
     sched = ChannelScheduler({0: (CENTER, SAMP_RATE)}, num_slots=8)
     sched.connect("p25demod")
     _, slot, _ = sched.create_channel("p25demod", 25000, CC_FREQ)
-    pipe = ControlPipeline.p25_c4fm(num_slots=8, samp_rate=SAMP_RATE)
+    pipe = ControlPipeline.p25_c4fm(num_slots=8, samp_rate=SAMP_RATE,
+                                    frontend=frontend)
     state = pipe.init()
     offs = sched.offsets_norm(0)
 

@@ -132,3 +132,45 @@ def test_pfb_block_split(rng):
         outs.append(np.asarray(yb))
     np.testing.assert_allclose(np.concatenate(outs, axis=1),
                                np.asarray(y_once), atol=2e-4)
+
+
+def test_pfb_xlat_bank_matches_xlat_bank_tones():
+    """'pfb' frontend (coarse bins + fine xlat) extracts the same
+    channels as 'xlat' mode: same tone frequencies out, including a
+    channel that does NOT sit on a bin center."""
+    from radiocapture_tpu.ops.channelizer import PfbXlatBank
+
+    fs = 2_400_000.0
+    offs_hz = np.array([500_000.0, -433_000.0, 0.0], np.float32)
+    bank = PfbXlatBank(3, fs, 12500.0)
+    n = bank.decim * 512
+    wide = (M.multi_channel(fs, [
+        (500_000.0, M.upsample_to(M.tone(25000.0, 2000.0, 15000),
+                                  25000, fs)),
+        (-433_000.0, M.upsample_to(M.tone(25000.0, -3000.0, 15000),
+                                   25000, fs)),
+    ], n)).astype(np.complex64)
+
+    st = bank.init()
+    st, y = bank(st, jnp.asarray(wide), jnp.asarray(offs_hz / fs))
+    y = np.asarray(y)[:, 200:]
+    fs_ch = fs / bank.decim
+
+    def est(z):
+        return float(np.mean(np.angle(z[1:] * np.conj(z[:-1])))
+                     * fs_ch / (2 * np.pi))
+
+    assert abs(est(y[0]) - 2000.0) < 20.0
+    assert abs(est(y[1]) + 3000.0) < 20.0
+    assert np.mean(np.abs(y[2])) < 0.05 * np.mean(np.abs(y[0]))
+
+    # streaming continuity across block splits
+    st2 = bank.init()
+    outs = []
+    for blk in wide.reshape(4, -1):
+        st2, yb = bank(st2, jnp.asarray(blk), jnp.asarray(offs_hz / fs))
+        outs.append(np.asarray(yb))
+    one = np.concatenate(outs, axis=1)
+    st3 = bank.init()
+    _, y_once = bank(st3, jnp.asarray(wide), jnp.asarray(offs_hz / fs))
+    np.testing.assert_allclose(one, np.asarray(y_once), atol=2e-3)
