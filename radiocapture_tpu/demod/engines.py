@@ -17,6 +17,7 @@ same field vocabulary the reference publishes to
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Callable
 
@@ -33,25 +34,50 @@ class EngineBase:
     """Shared counters + lock bookkeeping."""
 
     def __init__(self, on_event: Callable[[dict], None] | None = None,
-                 on_lost_lock: Callable[[], None] | None = None):
+                 on_lost_lock: Callable[[], None] | None = None,
+                 instance_uuid: str | None = None,
+                 system_id: str = ""):
         self.on_event = on_event or (lambda ev: None)
         self.on_lost_lock = on_lost_lock or (lambda: None)
         self.total_messages = 0
         self.bad_messages = 0
         self.is_locked = False
         self.quality: list[float] = []
+        self.instance_uuid = instance_uuid
+        self.system_id = system_id
+        # Decoded-frame firehose → logs/protocol.log via logconfig
+        # (reference p25_control_demod.py:62,535).
+        self.protocol_log = logging.getLogger(
+            f"protocol.{instance_uuid}" if instance_uuid else "protocol")
+        self.quality_log = logging.getLogger(
+            f"overseer.quality.{instance_uuid}" if instance_uuid
+            else "overseer.quality")
+        self._q_last_total = 0
+        self._q_last_bad = 0
 
     def _emit(self, ev: dict) -> None:
+        self.protocol_log.info(ev)
         self.on_event(ev)
 
-    def record_quality(self, elapsed_s: float, desired_rate: float) -> None:
-        """Quality ring: good packets per window / expected (reference:
-        p25_control_demod.py:538-560). Call every ~10 s."""
-        good = self.total_messages - self.bad_messages
+    def record_quality(self, elapsed_s: float, desired_rate: float,
+                       control_channel: float | int = 0,
+                       site_id: str = "") -> None:
+        """Quality ring from per-window packet deltas, plus the
+        'System Status' health line operators grep for (reference
+        p25_control_demod.py:538-560, README.md:103). Call every ~10 s."""
+        cur = self.total_messages - self._q_last_total
+        cur_bad = self.bad_messages - self._q_last_bad
+        self._q_last_total = self.total_messages
+        self._q_last_bad = self.bad_messages
         window_expected = desired_rate * elapsed_s
         if len(self.quality) >= 60:
             self.quality.pop(0)
-        self.quality.append(good / window_expected if window_expected else 0.0)
+        self.quality.append((cur - cur_bad) / window_expected
+                            if window_expected else 0.0)
+        self.quality_log.info(
+            "System Status: %s %s (%s/%s) (%s/%s) CC: %s",
+            self.system_id, site_id, cur, cur_bad,
+            self.total_messages, self.bad_messages, control_channel)
 
 
 class P25ControlEngine(EngineBase):

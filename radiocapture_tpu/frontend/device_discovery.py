@@ -109,3 +109,42 @@ class DeviceDiscovery:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+
+def main(argv=None):
+    """Service entry (deploy/radiocapture-tpu-device-discovery.service;
+    reference systemd/radiocapture-device-discovery.service)."""
+    import argparse
+    import logging
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-c", "--config", default=None,
+                    help="deployment config; its sources are reported "
+                         "alongside enumerated hardware")
+    ap.add_argument("--redis-host", default=None)
+    ap.add_argument("--redis-port", type=int, default=6379)
+    ap.add_argument("--once", action="store_true")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    sources = None
+    if args.config:
+        from radiocapture_tpu.rxconfig import load_config
+        sources = load_config(args.config).sources
+    from radiocapture_tpu.control.presence import (PresenceStore,
+                                                   RedisPresenceStore)
+    store = (RedisPresenceStore([{"host": args.redis_host,
+                                  "port": args.redis_port}])
+             if args.redis_host else PresenceStore())
+    dd = DeviceDiscovery(store, sources)
+    t = dd.publish_once()
+    logging.info("device table: %d devices", len(t["devices"]))
+    if args.once:
+        return
+    dd.start()
+    try:
+        while True:
+            time.sleep(60)
+    except KeyboardInterrupt:
+        dd.stop()
+
+
+if __name__ == "__main__":
+    main()

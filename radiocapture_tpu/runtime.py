@@ -78,7 +78,9 @@ class ControlInstance:
         self.slot: int | None = None
         self.block_id: int | None = None
         self.control_channel: float = 0.0
-        kw = dict(on_event=self._emit, on_lost_lock=self.tune_next)
+        kw = dict(on_event=self._emit, on_lost_lock=self.tune_next,
+                  instance_uuid=self.instance_uuid,
+                  system_id=str(sys_cfg.id))
         if sys_cfg.type == "p25":
             self.engine = P25ControlEngine(**kw)
         elif sys_cfg.type == "edacs":
@@ -144,11 +146,19 @@ class ControlInstance:
 
 class SiteRuntime:
     def __init__(self, cfg: RcConfig, iq_providers: dict,
-                 bus=None, store=None, keep_wav: bool = False):
+                 bus=None, store=None, keep_wav: bool = False,
+                 now_fn=None):
         """iq_providers: {source_idx: callable(n) -> complex64[n] or
         float32[n, 2]} — file readers, synthetic generators, or SDR
-        ingest shims."""
+        ingest shims.
+
+        now_fn: clock for call hang-time/timeout state machines. Default
+        wall clock (live capture); offline/file decode should pass
+        :meth:`stream_clock` so call lifecycle follows *stream* time and
+        results are machine-load independent (the reference is always
+        wall-clock because it is always real-time)."""
         self.cfg = cfg
+        self.now = now_fn or time.time
         self.bus = bus or (make_bus(cfg.redis_servers)
                            if cfg.redis_servers else InProcBus())
         self.store = store or PresenceStore()
@@ -198,6 +208,7 @@ class SiteRuntime:
                          ("edacs", EdacsCallManager)):
             if t in types:
                 self.call_managers[t] = klass(self.bus, self.get_instance,
+                                              now_fn=lambda: self.now(),
                                               blacklists=blacklists,
                                               whitelists=whitelists)
         for inst in self.instances:
@@ -232,6 +243,15 @@ class SiteRuntime:
                 new_providers[idx] = splitter.half(half)
         self.cfg.sources = new_sources
         self.providers = new_providers
+
+    def use_stream_clock(self) -> None:
+        """Switch call-lifecycle time to a block-count-driven clock for
+        offline decode: time advances ``block_seconds`` per processed
+        block, so hang-time/call-timeout behavior is identical however
+        fast (or slow) the host chews the file. Live capture keeps the
+        wall clock (the reference is always real-time)."""
+        t0 = time.time()
+        self.now = lambda: t0 + self.blocks * self.cfg.block_seconds
 
     # ---- presence-backed instance lookup (redis_demod_manager role) ----
     def get_instance(self, instance_uuid: str) -> dict | None:
@@ -311,7 +331,12 @@ class SiteRuntime:
         if now - self._last_quality >= 10.0:     # quality window
             dt = now - self._last_quality
             for inst in self.instances:
-                inst.engine.record_quality(dt, inst.engine.DESIRED_RATE)
+                sd = getattr(inst.engine, "site_detail", {}) or {}
+                sid = (f"{sd.get('System ID')}-{sd.get('WACN ID')} "
+                       f"{sd.get('RF Sub-system ID')}-{sd.get('Site ID')}")
+                inst.engine.record_quality(
+                    dt, inst.engine.DESIRED_RATE,
+                    control_channel=inst.control_channel, site_id=sid)
             self._last_quality = now
         self.publish_presence()
 
@@ -398,8 +423,15 @@ def main(argv=None):
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("--blocks", type=int, default=None)
     ap.add_argument("--duration", type=float, default=None)
+    ap.add_argument("--log-dir", default=None,
+                    help="rotating overseer/protocol logs (logconfig); "
+                         "default: console basicConfig")
     args = ap.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    if args.log_dir:
+        from radiocapture_tpu.utils.logconfig import setup_logging
+        setup_logging(args.log_dir)
+    else:
+        logging.basicConfig(level=logging.INFO)
     cfg = load_config(args.config)
     providers = {}
     for idx, src in cfg.sources.items():
@@ -408,6 +440,7 @@ def main(argv=None):
                              "hardware ingest via SiteRuntime directly")
         providers[idx] = FileSource(src.args)
     rt = SiteRuntime(cfg, providers)
+    rt.use_stream_clock()    # offline decode: load-independent timing
     try:
         rt.run(n_blocks=args.blocks, duration_s=args.duration)
     finally:

@@ -78,6 +78,7 @@ def test_runtime_grant_to_recording(tmp_path, capture):
     I.install_default()
     cfg = _config(tmp_path)
     rt = SiteRuntime(cfg, {0: FileSource(capture)}, keep_wav=True)
+    rt.use_stream_clock()    # hang-time follows stream, not host load
     completed = []
     rt.bus.subscribe("/queue/call_management/call_complete",
                      completed.append)

@@ -133,3 +133,30 @@ def test_scanning_receiver_squelch_cycle():
     sr.feed(silence[blk:2 * blk])
     assert len(events["to"]) == 1
     assert events["to"][0]["call_uuid"] == cdr["call_uuid"]
+
+
+def test_scan_cli_fft_mode(tmp_path):
+    """python -m radiocapture_tpu.scan fft: synthetic P25 control channel
+    in a wideband capture → locked summary line in the output file
+    (reference fft_based_scan.sh + fft_peak_detection.py flow)."""
+    from radiocapture_tpu.scan.__main__ import main as scan_main
+
+    fs = 2.4e6
+    center = 857.0e6
+    cc = 857.4e6
+    ch = _p25_cc_iq(n_frames=30, cc_freq=cc)
+    n = (len(ch) // 16384) * 16384
+    iq = M.multi_channel(fs, [(cc - center, ch)], n,
+                         noise_floor_db=-55.0,
+                         rng=np.random.default_rng(3))
+    path = tmp_path / "cap.dat"
+    iq.astype(np.complex64).tofile(path)
+    out = tmp_path / "fft.scan.output"
+    scan_main(["fft", str(path), "-r", str(fs), "-f", str(center),
+               "-o", str(out)])
+    lines = [ln for ln in out.read_text().splitlines()
+             if not ln.startswith("#")]
+    assert lines, "no scan results"
+    locked = [ln for ln in lines if "None None" not in ln]
+    assert locked, f"no locked candidate in {lines}"
+    assert any(str(int(cc)) in ln for ln in lines)

@@ -169,3 +169,46 @@ def test_device_discovery_publishes_table():
     assert dd.host_hash in live
     cfg = enumerate_configured(sources)
     assert cfg[0]["samp_rate"] == 2.4e6
+
+
+def test_logconfig_rotating_handlers_and_protocol_firehose(tmp_path):
+    """logconfig mirrors the reference config.logging.json: root →
+    rotating overseer.log, protocol.* → protocol.log (non-propagating),
+    overseer.quality → console; engine _emit lands in the firehose and
+    record_quality writes the 'System Status' health line."""
+    import logging
+    from radiocapture_tpu.utils.logconfig import (setup_logging,
+                                                  logging_dict,
+                                                  protocol_logger)
+    from radiocapture_tpu.demod.engines import P25ControlEngine
+
+    d = logging_dict("logs", max_bytes=123, backup_count=4)
+    assert d["handlers"]["file_handler"]["maxBytes"] == 123
+    assert d["loggers"]["protocol"]["propagate"] is False
+
+    setup_logging(str(tmp_path))
+    logging.getLogger("anything").info("root line")
+    protocol_logger("deadbeef").info({"name": "TSBK"})
+
+    eng = P25ControlEngine(instance_uuid="deadbeef", system_id="denver")
+    eng._emit({"name": "GRP_V_CH_GRANT", "Channel": 1})
+    eng.total_messages, eng.bad_messages = 40, 2
+    eng.record_quality(10.0, 40.0, control_channel=857.5e6, site_id="s")
+    assert abs(eng.quality[-1] - 38.0 / 400.0) < 1e-9
+    # second window uses deltas, not cumulative counts
+    eng.total_messages = 80
+    eng.record_quality(10.0, 40.0)
+    assert abs(eng.quality[-1] - 40.0 / 400.0) < 1e-9
+
+    for h in logging.getLogger().handlers:
+        h.flush()
+    overseer = (tmp_path / "overseer.log").read_text()
+    protocol = (tmp_path / "protocol.log").read_text()
+    assert "root line" in overseer
+    assert "GRP_V_CH_GRANT" in protocol
+    assert "GRP_V_CH_GRANT" not in overseer      # propagate=False
+    assert "System Status: denver" in overseer   # quality → root file too
+    # reset to default config so later tests aren't redirected
+    logging.getLogger("protocol").handlers.clear()
+    logging.getLogger().handlers.clear()
+    logging.basicConfig()

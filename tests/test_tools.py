@@ -64,3 +64,44 @@ def test_render_spectrum_flat_noise_is_quiet():
     spec = rng.normal(-80, 0.1, 4096)
     line = render_spectrum(spec, width=50)
     assert set(line) <= set(" ▁▂▃")
+
+
+def test_uploader_bus_and_spool(tmp_path):
+    """Uploader delivers finished calls (mp3 + CDR sidecar) preserving
+    the tree layout, in both bus mode and spool-sweep mode."""
+    import json
+    import os
+    import time
+    from radiocapture_tpu.control.bus import InProcBus
+    from radiocapture_tpu.tools.uploader import Uploader, sweep_spool
+
+    audio = tmp_path / "audio" / "2026" / "8" / "18" / "7" / "inst" / "42"
+    audio.mkdir(parents=True)
+    dest = tmp_path / "dest"
+    mp3 = audio / "abc.mp3"
+    mp3.write_bytes(b"ID3fakeaudio")
+
+    bus = InProcBus(num_workers=1)
+    up = Uploader(bus, str(tmp_path / "audio"), dest=str(dest))
+    bus.send_event_hopeful("/queue/call_management/call_complete",
+                           {"filename": str(mp3),
+                            "cdr": {"call_uuid": "abc", "tg": 42}})
+    deadline = time.time() + 3.0
+    while up.delivered == 0 and time.time() < deadline:
+        time.sleep(0.05)
+    rel = "2026/8/18/7/inst/42/abc.mp3"
+    assert (dest / rel).read_bytes() == b"ID3fakeaudio"
+    cdr = json.loads((dest / (rel + ".cdr.json")).read_text())
+    assert cdr["tg"] == 42
+    bus.close()
+
+    # spool mode picks up leftovers with a .tags.json sidecar
+    mp3b = audio / "def.mp3"
+    mp3b.write_bytes(b"x")
+    (audio / "def.tags.json").write_text('{"call_uuid": "def"}')
+    os.utime(mp3b, (time.time() - 120, time.time() - 120))
+    n = sweep_spool(str(tmp_path / "audio"), str(dest), None,
+                    min_age_s=30.0)
+    assert n == 1
+    assert (dest / "2026/8/18/7/inst/42/def.mp3").exists()
+    assert not mp3b.exists()
