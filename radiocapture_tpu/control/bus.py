@@ -104,6 +104,18 @@ class InProcBus:
     def close(self) -> None:
         self._running = False
 
+    def flush(self, timeout: float = 5.0) -> bool:
+        """Block until every queued event (including cascades published
+        from inside callbacks) has been dispatched. Offline decode uses
+        this to make event ordering deterministic w.r.t. block
+        processing; live capture never calls it."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if self._work.unfinished_tasks == 0 and self._hopeful.empty():
+                return True
+            time.sleep(0.001)
+        return False
+
     # -- internals
     def _publish(self, dest: str, body: dict, headers: dict | None,
                  durable: bool) -> None:
@@ -141,6 +153,8 @@ class InProcBus:
                 self.delivered += 1
             except Exception:
                 log.exception("subscriber error on %s", msg["destination"])
+            finally:
+                self._work.task_done()
 
     def _drain_hopeful(self) -> None:
         """Durable tier: requeue-at-head on failure, like the reference's

@@ -35,28 +35,29 @@ MAX_BLOCK_N = 256   # keeps double-buffered blocks inside the 16 MiB scoped-vmem
 
 
 def _bank_kernel(p: int, d: int, bn: int,
-                 za_re, za_im, zb_re, zb_im, gre, gim, ore, oim):
+                 za_re, za_im, zb_re, zb_im, g1, g2, ore, oim):
     """One N-tile: acc = Σ_q zbuf[q:q+BN] @ g[q·D:(q+1)·D] (complex).
 
     zbuf is this tile's BN rows plus the next tile's first P-1 rows.
+    The complex product is evaluated as TWO dots per q with the real and
+    imaginary tap planes stacked side by side (g1 = [gre | gim],
+    g2 = [-gim | gre], each [P·D, 2C]), so every dot drives 2C output
+    lanes: acc[:, :C] + 1j·acc[:, C:] = w @ (gre + 1j·gim). At C=64 that
+    fills the 128-lane MXU instead of running four half-width dots.
     """
     zre = jnp.concatenate([za_re[:], zb_re[: p - 1, :]], axis=0)
     zim = jnp.concatenate([za_im[:], zb_im[: p - 1, :]], axis=0)
-    acc_re = jnp.zeros(ore.shape, jnp.float32)
-    acc_im = jnp.zeros(oim.shape, jnp.float32)
+    c = ore.shape[-1]
+    acc = jnp.zeros(ore.shape[:-1] + (2 * c,), jnp.float32)
     for q in range(p):
         wre = zre[q:q + bn, :]
         wim = zim[q:q + bn, :]
-        tre = gre[q * d:(q + 1) * d, :]
-        tim = gim[q * d:(q + 1) * d, :]
-        acc_re += (jnp.dot(wre, tre, preferred_element_type=jnp.float32)
-                   - jnp.dot(wim, tim,
-                             preferred_element_type=jnp.float32))
-        acc_im += (jnp.dot(wre, tim, preferred_element_type=jnp.float32)
-                   + jnp.dot(wim, tre,
-                             preferred_element_type=jnp.float32))
-    ore[:] = acc_re
-    oim[:] = acc_im
+        t1 = g1[q * d:(q + 1) * d, :]
+        t2 = g2[q * d:(q + 1) * d, :]
+        acc += (jnp.dot(wre, t1, preferred_element_type=jnp.float32)
+                + jnp.dot(wim, t2, preferred_element_type=jnp.float32))
+    ore[:] = acc[:, :c]
+    oim[:] = acc[:, c:]
 
 
 def block_n_for(n: int) -> int | None:
@@ -81,6 +82,9 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
         raise ValueError(f"no usable N-tile for n={n}")
     ntiles = -(-n // bn)
     n_pad = ntiles * bn
+    # Stacked tap planes (see _bank_kernel): one [P·D, 2C] pair.
+    g1 = jnp.concatenate([g_re, g_im], axis=1)
+    g2 = jnp.concatenate([-g_im, g_re], axis=1)
     kern = functools.partial(_bank_kernel, p, d, bn)
     # Tile t needs zf rows [t·BN, t·BN + BN + P - 1): its own (BN, D)
     # block plus the first P-1 rows of block t+1. Pad the framed input
@@ -93,7 +97,7 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
                        memory_space=pltpu.VMEM)
     z_b = pl.BlockSpec((bn, d), lambda t: (t + 1, 0),
                        memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((p * d, c), lambda t: (0, 0),
+    g_spec = pl.BlockSpec((p * d, 2 * c), lambda t: (0, 0),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bn, c), lambda t: (t, 0),
                           memory_space=pltpu.VMEM)
@@ -105,13 +109,15 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
         in_specs=[z_a, z_a, z_b, z_b, g_spec, g_spec],
         out_specs=[o_spec, o_spec],
         interpret=interpret,
-    )(zp_re, zp_im, zp_re, zp_im, g_re, g_im)
+    )(zp_re, zp_im, zp_re, zp_im, g1, g2)
     return y_re[:n], y_im[:n]
 
 
 def vmem_bytes(n: int, p: int, d: int, c: int) -> int:
+    # 4 input blocks [BN, D], 2 stacked tap planes [P·D, 2C], the [BN, 2C]
+    # accumulator and 2 output blocks [BN, C] — all f32.
     bn = block_n_for(n) or n
-    return 4 * (4 * bn * d + 2 * p * d * c + 4 * bn * c)
+    return 4 * (4 * bn * d + 4 * p * d * c + 4 * bn * c)
 
 
 def pallas_supported(n: int, p: int, d: int, c: int) -> bool:

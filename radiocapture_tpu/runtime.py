@@ -159,6 +159,7 @@ class SiteRuntime:
         wall-clock because it is always real-time)."""
         self.cfg = cfg
         self.now = now_fn or time.time
+        self._deterministic = False
         self.bus = bus or (make_bus(cfg.redis_servers)
                            if cfg.redis_servers else InProcBus())
         self.store = store or PresenceStore()
@@ -252,6 +253,7 @@ class SiteRuntime:
         wall clock (the reference is always real-time)."""
         t0 = time.time()
         self.now = lambda: t0 + self.blocks * self.cfg.block_seconds
+        self._deterministic = True
 
     # ---- presence-backed instance lookup (redis_demod_manager role) ----
     def get_instance(self, instance_uuid: str) -> dict | None:
@@ -313,6 +315,11 @@ class SiteRuntime:
                 syms, valid, dibits = out
                 v = np.asarray(valid[inst.slot]).astype(bool)
                 inst.feed(np.asarray(dibits[inst.slot])[v])
+            if self._deterministic and hasattr(self.bus, "flush"):
+                # Offline decode: drain grant -> call manager -> new_call
+                # -> recorder-open before this block's voice feed, so
+                # recordings don't depend on worker-thread scheduling.
+                self.bus.flush()
             # voice recorders
             audio, power = outputs.get(_CLS_ANALOG, (None, None))
             dig = outputs.get(_CLS_C4FM)
@@ -326,6 +333,8 @@ class SiteRuntime:
         for cm in self.call_managers.values():
             cm.sweep()
         self.scheduler.reap()
+        if self._deterministic and hasattr(self.bus, "flush"):
+            self.bus.flush()
         self.blocks += 1
         now = time.time()
         if now - self._last_quality >= 10.0:     # quality window
