@@ -23,12 +23,13 @@ def main():
 
     dev = jax.devices()[0]
 
-    # 32 sources x 2.4 MS/s = 76.8 MS/s per step-call batch; 64 slots
-    # each (2048 concurrent control/voice channels), 100 ms blocks. The
+    # 64 sources x 2.4 MS/s = 153.6 MS/s per step-call batch; 64 slots
+    # each (4096 concurrent control/voice channels), 100 ms blocks. The
     # scan kernel is latency-bound, not lane-bound, so widening the
     # batch is nearly free until the channelizer matmul saturates
-    # (measured knee on v5e: ~32 sources).
-    n_sources = 32
+    # (measured on v5e: 32 srcs 607 MS/s, 64 srcs 794, 96 srcs 855 with
+    # rising latency; 64 balances throughput vs block latency).
+    n_sources = 64
     samp_rate = 2.4e6
     num_slots = 64
     pipe = ControlPipeline.p25_c4fm(num_slots=num_slots,

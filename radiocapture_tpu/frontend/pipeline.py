@@ -53,18 +53,19 @@ def _make_bank(frontend: str, num_slots: int, samp_rate: float,
     raise ValueError(f"unknown frontend_mode {frontend!r}")
 
 
-def _batched_fir(hist: jax.Array, x: jax.Array, taps: jax.Array
-                 ) -> tuple[jax.Array, jax.Array]:
-    """Streaming FIR over ``[slots, T]`` with shared real taps.
+def _batched_fir(hist: jax.Array, x: jax.Array, taps: jax.Array,
+                 stride: int = 1) -> tuple[jax.Array, jax.Array]:
+    """Streaming FIR over ``[slots, T]`` with shared real taps,
+    optionally decimating by ``stride``.
 
-    Returns (new_hist [slots, K-1], y [slots, T]).
+    Returns (new_hist [slots, K-1], y [slots, T // stride]).
     """
     k = taps.shape[0]
     z = jnp.concatenate([hist, x], axis=-1)          # [C, T+K-1]
     y = jax.lax.conv_general_dilated(
         z[:, None, :].astype(jnp.float32),
         taps[::-1][None, None, :].astype(jnp.float32),
-        window_strides=(1,), padding="VALID",
+        window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
     )[:, 0, :]
     return z[:, z.shape[-1] - (k - 1):], y
@@ -102,6 +103,14 @@ class ControlPipeline:
         # trip (axon-style transports can't copy device arrays back for
         # constant embedding).
         self.sym_taps = _fsk4.boxcar_taps(self.channel_fs, self.symbol_rate)
+        # Decimate the discriminator stream before the tracking scan when
+        # ≥2.2 samples/symbol survive: the fsk4 scan is latency-bound
+        # (time ~ sequential steps, not lanes), so halving the rate into
+        # it nearly halves the whole pipeline's critical path. P25 4800 Bd
+        # tracks at 12.5 kS/s (2.6 sps); EDACS 9600 Bd stays at 25 kS/s.
+        self.sym_decim = 2 if (self.channel_fs / 2.0
+                               >= 2.2 * self.symbol_rate) else 1
+        self.track_fs = self.channel_fs / self.sym_decim
         # State crosses the jit boundary wire-encoded (utils.wire): the
         # tunneled TPU transport can't carry complex64/uint32 buffers at
         # executable I/O; complex math stays inside jit.
@@ -134,6 +143,11 @@ class ControlPipeline:
     def decim(self) -> int:
         return self.bank.decim
 
+    @property
+    def block_multiple(self) -> int:
+        """Input block length must be a multiple of this."""
+        return self.bank.decim * self.sym_decim
+
     def _init_decoded(self) -> ControlPipelineState:
         c = self.num_slots
         return ControlPipelineState(
@@ -154,9 +168,10 @@ class ControlPipeline:
             x = jax.lax.complex(x[..., 0], x[..., 1])
         bs, chans = self.bank(state.bank, x, offsets_norm)
         qs, disc = _fm.quadrature_demod(state.quad, chans, self.disc_gain)
-        sh, filt = _batched_fir(state.sym_hist, disc, self.sym_taps)
+        sh, filt = _batched_fir(state.sym_hist, disc, self.sym_taps,
+                                stride=self.sym_decim)
         fs, (syms, valid) = _fsk4.fsk4_demod(
-            state.fsk4, filt, self.channel_fs, self.symbol_rate,
+            state.fsk4, filt, self.track_fs, self.symbol_rate,
             levels=self.levels)
         if len(self.levels) == 4:
             dibits = _fsk4.slice_dibits_jax(syms).astype(jnp.int32)
@@ -174,11 +189,11 @@ class ControlPipeline:
         """One jitted streaming step.
 
         x: [T] complex64 wideband (or [T, 2] float32 re/im pairs — the
-        transfer-friendly on-the-wire layout), T % decim == 0.
+        transfer-friendly on-the-wire layout), T % block_multiple == 0.
         offsets_norm: [num_slots] float32, slot center offset in
           cycles/input-sample (i.e. offset_hz / samp_rate).
-        Returns (state, (symbols [C, T//decim] f32, valid [C, T//decim]
-        int32 0/1, dibits [C, T//decim] int32)).
+        Returns (state, (symbols [C, N] f32, valid [C, N] int32 0/1,
+        dibits [C, N] int32)) with N = T // (decim · sym_decim).
         """
         return self._step(state, x, offsets_norm)
 

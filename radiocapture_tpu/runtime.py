@@ -282,11 +282,10 @@ class SiteRuntime:
 
     def block_len(self, src_idx: int) -> int:
         src = self.cfg.sources[src_idx]
-        any_pipe = next(p for (s, _), p in self.pipelines.items()
-                        if s == src_idx)
-        decim = any_pipe.decim
+        m = max(getattr(p, "block_multiple", p.decim)
+                for (s, _), p in self.pipelines.items() if s == src_idx)
         n = int(src.samp_rate * self.cfg.block_seconds)
-        return max(decim, (n // decim) * decim)
+        return max(m, (n // m) * m)
 
     # ---- main loop ----
     def step(self) -> None:

@@ -81,7 +81,8 @@ def test_sharded_control_step_8_devices():
     chan_iq, _ = _control_iq(5)
     up = M.upsample_to(chan_iq, 25000.0, FS)
     wide = M.multi_channel(FS, [(50e3, up)], n=len(up))
-    block = (len(wide) // pipe.decim) * pipe.decim
+    bm = pipe.block_multiple
+    block = (len(wide) // bm) * bm
     x1 = jnp.asarray(wide[:block])
     x = jnp.broadcast_to(x1, (n_sources, block))
     offs1 = jnp.zeros((8,), jnp.float32).at[0].set(50e3 / FS)
@@ -89,7 +90,7 @@ def test_sharded_control_step_8_devices():
 
     st = sharded.init()
     st, (syms, valid, dibits) = sharded.step(st, x, offs)
-    assert syms.shape == (n_sources, 8, block // pipe.decim)
+    assert syms.shape == (n_sources, 8, block // bm)
 
     ref_state = pipe.init()
     _, (rsyms, rvalid, rdibits) = pipe.step(ref_state, x1, offs1)
