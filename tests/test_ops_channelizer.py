@@ -108,13 +108,22 @@ def test_pallas_bank_matmul_parity(rng):
         gi = rng.standard_normal((p * d, c)).astype(np.float32)
         yr, yi = pk.bank_matmul_pallas(
             jnp.asarray(zr), jnp.asarray(zi), jnp.asarray(gr),
-            jnp.asarray(gi), p, d, interpret=True)
+            jnp.asarray(gi), p, d, interpret=True, bf16=False)
         w_r = np.concatenate([zr[q: q + n_out] for q in range(p)], axis=1)
         w_i = np.concatenate([zi[q: q + n_out] for q in range(p)], axis=1)
         np.testing.assert_allclose(np.asarray(yr), w_r @ gr - w_i @ gi,
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(yi), w_r @ gi + w_i @ gr,
                                    rtol=1e-4, atol=1e-3)
+        # bf16 MXU mode: rounding ~2^-8 per product, f32 accumulation.
+        yr16, yi16 = pk.bank_matmul_pallas(
+            jnp.asarray(zr), jnp.asarray(zi), jnp.asarray(gr),
+            jnp.asarray(gi), p, d, interpret=True, bf16=True)
+        scale = np.abs(w_r @ gr - w_i @ gi).max()
+        np.testing.assert_allclose(np.asarray(yr16), w_r @ gr - w_i @ gi,
+                                   atol=0.02 * scale)
+        np.testing.assert_allclose(np.asarray(yi16), w_r @ gi + w_i @ gr,
+                                   atol=0.02 * scale)
 
 
 def test_pfb_block_split(rng):
