@@ -100,29 +100,25 @@ int64_t rc_ring_dropped(void* h) {
   return static_cast<Ring*>(h)->dropped.load(std::memory_order_relaxed);
 }
 
-// Producer: push n_samples of wire-format IQ. Oldest data is dropped on
-// overflow (capture favors freshness — a stalled consumer must not stall
-// the SDR driver thread; the reference gets the same behavior from
-// finite ZMQ/UDP socket buffers).
+// Producer: push n_samples of wire-format IQ. On overflow the INCOMING
+// tail of the write is dropped (and counted): the producer never mutates
+// `tail`, so a concurrent pop can never observe torn bytes or rewound
+// accounting. A stalled consumer therefore never stalls the SDR driver
+// thread — the same back-pressure-free semantics the reference gets from
+// finite kernel/ZMQ socket buffers, which likewise drop the newest
+// datagrams when full (reference receiver.py:91-92).
 int64_t rc_ring_push(void* h, const void* data, int64_t n_samples) {
   Ring* r = static_cast<Ring*>(h);
   const size_t bps = bytes_per_sample(r->fmt);
   size_t nbytes = static_cast<size_t>(n_samples) * bps;
-  if (nbytes > r->capacity) {  // keep only the tail of a huge write
-    data = static_cast<const uint8_t*>(data) + (nbytes - r->capacity);
-    r->dropped.fetch_add((nbytes - r->capacity) / bps,
-                         std::memory_order_relaxed);
-    nbytes = r->capacity;
-  }
   uint64_t head = r->head.load(std::memory_order_relaxed);
   uint64_t tail = r->tail.load(std::memory_order_acquire);
   size_t free_b = r->capacity - static_cast<size_t>(head - tail);
   if (nbytes > free_b) {
-    // advance tail (drop oldest) — single-producer owns this decision;
-    // consumer re-validates via the atomic tail.
-    uint64_t need = nbytes - free_b;
-    r->tail.fetch_add(need, std::memory_order_acq_rel);
-    r->dropped.fetch_add(need / bps, std::memory_order_relaxed);
+    size_t fit = (free_b / bps) * bps;  // whole samples only
+    r->dropped.fetch_add((nbytes - fit) / bps, std::memory_order_relaxed);
+    nbytes = fit;
+    if (nbytes == 0) return 0;
   }
   size_t off = static_cast<size_t>(head) & r->mask();
   size_t first = r->capacity - off;
@@ -132,7 +128,7 @@ int64_t rc_ring_push(void* h, const void* data, int64_t n_samples) {
     std::memcpy(r->buf, static_cast<const uint8_t*>(data) + first,
                 nbytes - first);
   r->head.store(head + nbytes, std::memory_order_release);
-  return n_samples;
+  return static_cast<int64_t>(nbytes / bps);  // samples accepted
 }
 
 // Consumer: pop exactly n_samples converted to float32 re/im pairs into

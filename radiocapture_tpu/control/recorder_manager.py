@@ -18,19 +18,41 @@ import threading
 
 import numpy as np
 
-from radiocapture_tpu.audio.recorder import CallRecorder, P25_MODS
+from radiocapture_tpu.audio.recorder import CallRecorder
 
 log = logging.getLogger(__name__)
+
+# CDR modulation_type -> the per-slot dibit stream class that can decode
+# it (the runtime keys its batched pipelines by these names). The
+# reference builds a dedicated flowgraph per modulation inside
+# logging_receiver.configure_blocks (logging_receiver.py:131-352); here
+# each class is one shared batched pipeline per source. TDMA voice runs
+# 6000 Bd (logging_receiver.py:226-228, 285-287); ProVoice is 9600 Bd
+# binary FSK on EDACS systems, same symbol chain as the EDACS control
+# class (logging_receiver.py:334-351 uses DSD on the discriminator).
+MOD_TO_STREAM = {
+    "p25": "c4fm",
+    "p25_tdma": "c4fm_tdma",
+    "p25_cqpsk": "cqpsk",
+    "p25_cqpsk_tdma": "cqpsk_tdma",
+    "provoice": "edacs",
+}
 
 
 class RecorderManager:
     def __init__(self, bus, scheduler, audio_dir: str = "audio",
-                 channel_fs: float = 25000.0, keep_wav: bool = False):
+                 channel_fs: float = 25000.0, keep_wav: bool = False,
+                 require_stream=None):
+        """``require_stream(source_idx, stream_cls)``: callback asking the
+        capture loop to provision the named dibit pipeline on a source
+        before the next block (lazy — TDMA/CQPSK voice classes only
+        compile when a system actually grants such a channel)."""
         self.bus = bus
         self.scheduler = scheduler
         self.audio_dir = audio_dir
         self.channel_fs = channel_fs
         self.keep_wav = keep_wav
+        self.require_stream = require_stream
         self._lock = threading.RLock()
         # call_uuid -> (recorder, source_idx, slot_idx, block_id, kind)
         self.active: dict[str, tuple] = {}
@@ -78,8 +100,10 @@ class RecorderManager:
             rec = CallRecorder(cdr, self.bus, audio_dir=self.audio_dir,
                                channel_fs=self.channel_fs,
                                keep_wav=self.keep_wav).open()
-            kind = "p25" if cdr.get("modulation_type") in P25_MODS \
-                else "analog"
+            kind = MOD_TO_STREAM.get(cdr.get("modulation_type"),
+                                     "analog")
+            if kind != "analog" and self.require_stream is not None:
+                self.require_stream(src, kind)
             self.active[call_uuid] = (rec, src, slot, block_id, kind)
 
     def process_call_timeout(self, ev: dict) -> None:
@@ -102,22 +126,28 @@ class RecorderManager:
 
     # ---- capture-loop feed ----
     def feed_source_block(self, source_idx: int, *, audio=None, power=None,
-                          dibits=None, valid=None) -> None:
+                          dibit_streams=None) -> None:
         """Route one block of per-slot pipeline outputs to the recorders
         holding slots on this source.
 
         audio/power from AnalogVoicePipeline ([slots, T'], [slots]);
-        dibits/valid from a digital voice pipeline ([slots, N] each).
-        """
+        dibit_streams maps stream class (``MOD_TO_STREAM`` values) ->
+        (dibits [slots, N], valid [slots, N]) from the matching digital
+        pipeline — a CQPSK/TDMA call must never be fed another class's
+        symbol decisions (an LSM channel through the FM-discriminator
+        path yields garbage dibits that silently never sync)."""
+        dibit_streams = dibit_streams or {}
         with self._lock:
             entries = list(self.active.values())
         for rec, src, slot, _bid, kind in entries:
             if src != source_idx or rec.closed:
                 continue
-            if kind == "analog" and audio is not None:
-                rec.feed_audio(np.asarray(audio[slot]),
-                               float(power[slot]))
-            elif kind == "p25" and dibits is not None:
+            if kind == "analog":
+                if audio is not None:
+                    rec.feed_audio(np.asarray(audio[slot]),
+                                   float(power[slot]))
+            elif kind in dibit_streams:
+                dibits, valid = dibit_streams[kind]
                 v = np.asarray(valid[slot]).astype(bool)
                 rec.feed_dibits(np.asarray(dibits[slot])[v])
 

@@ -8,8 +8,10 @@ owns that sample path: producers (an SDR driver thread, a UDP feed, or a
 replay thread) push compact wire-format IQ (int8/int16/float32) into a
 lock-free ring; :class:`IngestRing` pops fixed-size blocks converted to
 the float32 re/im layout the TPU pipelines take, so the Python loop
-never touches per-sample data. Overflow drops oldest samples (the SDR
-must never block) and is counted, mirroring finite socket buffers.
+never touches per-sample data. Overflow drops the incoming excess (the
+SDR must never block, and the producer never mutates the consumer
+cursor, so pops can't tear) and is counted, mirroring a full kernel
+socket buffer dropping the newest datagrams.
 
 Use as a :class:`radiocapture_tpu.runtime.SiteRuntime` provider::
 
@@ -103,7 +105,9 @@ class IngestRing:
 
     def push(self, samples: np.ndarray) -> int:
         """Producer side: wire-format samples — complex64 for 'cf32',
-        interleaved int16/int8/uint8 pairs (or [n, 2]) otherwise."""
+        interleaved int16/int8/uint8 pairs (or [n, 2]) otherwise.
+        Returns samples accepted; the overflow remainder is dropped and
+        counted in :attr:`dropped`."""
         a = np.ascontiguousarray(samples)
         if self.fmt == "cf32":
             n = a.size if a.dtype == np.complex64 else a.size // 2

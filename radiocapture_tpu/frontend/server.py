@@ -42,8 +42,14 @@ class FrontendServer:
         self.scheduler = scheduler
         self.ctx = zmq.Context.instance()
         self.sock = self.ctx.socket(zmq.REP)
-        self.port = self.sock.bind_to_random_port("tcp://0.0.0.0") \
-            if bind.endswith(":0") else self.sock.bind(bind)
+        if bind.endswith(":0"):
+            self.port = self.sock.bind_to_random_port("tcp://0.0.0.0")
+        else:
+            self.sock.bind(bind)
+            # bind() returns None; recover the port from the resolved
+            # endpoint so explicit binds still advertise correctly.
+            last = self.sock.getsockopt_string(zmq.LAST_ENDPOINT)
+            self.port = int(last.rsplit(":", 1)[1])
         self.on_scan_set_freq = on_scan_set_freq
         self._client_num = 0
         self._stop = threading.Event()

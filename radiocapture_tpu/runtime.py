@@ -25,6 +25,7 @@ CLI: ``python -m radiocapture_tpu.runtime -c <config.py> --blocks N``
 from __future__ import annotations
 
 import logging
+import threading
 import time
 import uuid as _uuid
 
@@ -48,9 +49,13 @@ from radiocapture_tpu.rxconfig import RcConfig
 
 log = logging.getLogger(__name__)
 
-# pipeline class key per (system type, modulation)
+# pipeline class key per (system type, modulation). Voice-only classes:
+# TDMA channels run 6000 Bd (logging_receiver.py:226-228, 285-287).
 _CLS_C4FM, _CLS_CQPSK, _CLS_EDACS, _CLS_MOTO, _CLS_ANALOG = (
     "c4fm", "cqpsk", "edacs", "moto", "analog")
+_CLS_C4FM_TDMA, _CLS_CQPSK_TDMA = "c4fm_tdma", "cqpsk_tdma"
+_DIGITAL_CLASSES = (_CLS_C4FM, _CLS_CQPSK, _CLS_EDACS, _CLS_MOTO,
+                    _CLS_C4FM_TDMA, _CLS_CQPSK_TDMA)
 
 
 def _pipeline_class_for(sys_cfg) -> str:
@@ -180,15 +185,26 @@ class SiteRuntime:
             self.instances.append(inst)
         needed = {(_i.source_idx, _i.cls) for _i in self.instances
                   if _i.source_idx is not None}
+        # Voice channels can land on any source; provision the classes
+        # the configured systems imply up front (the rest — TDMA 6000 Bd
+        # variants, provoice — are provisioned lazily by the recorder
+        # manager's require_stream callback on the first such grant).
+        has_cqpsk = any(s.type == "p25" and s.modulation.upper() == "CQPSK"
+                        for s in cfg.systems.values())
         for src_idx in cfg.sources:
             needed.add((src_idx, _CLS_ANALOG))   # voice
             needed.add((src_idx, _CLS_C4FM))     # digital voice dibits
+            if has_cqpsk:
+                needed.add((src_idx, _CLS_CQPSK))
         for src_idx, cls in sorted(needed, key=str):
             self._make_pipeline(src_idx, cls)
+        self._pending_pipelines: set[tuple] = set()
+        self._pipe_lock = threading.Lock()
 
         self.recorders = RecorderManager(self.bus, self.scheduler,
                                          audio_dir=cfg.audio_dir,
-                                         keep_wav=keep_wav)
+                                         keep_wav=keep_wav,
+                                         require_stream=self._require_stream)
         self.metadata = MetadataAgent(self.bus, self.get_instance)
         # Talkgroup filters: reference-style cfg.blacklists (keyed by
         # system id) merged with per-system blacklist/whitelist fields.
@@ -268,6 +284,12 @@ class SiteRuntime:
         fe = self.cfg.frontend_mode
         if cls == _CLS_C4FM:
             p = ControlPipeline.p25_c4fm(n, src.samp_rate, frontend=fe)
+        elif cls == _CLS_C4FM_TDMA:
+            # Phase 2 H-CPM voice on a C4FM system: same discriminator
+            # chain at 6000 Bd (logging_receiver.py:226-228).
+            p = ControlPipeline(n, src.samp_rate, 12500.0, 6000.0,
+                                (-3.0, -1.0, 1.0, 3.0), 600.0,
+                                frontend=fe)
         elif cls == _CLS_EDACS:
             p = ControlPipeline.edacs(n, src.samp_rate, frontend=fe)
         elif cls == _CLS_MOTO:
@@ -275,10 +297,30 @@ class SiteRuntime:
         elif cls == _CLS_CQPSK:
             p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate,
                                                frontend=fe)
+        elif cls == _CLS_CQPSK_TDMA:
+            p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate,
+                                               tdma=True, frontend=fe)
         else:
             p = AnalogVoicePipeline(n, src.samp_rate, frontend=fe)
         self.pipelines[(src_idx, cls)] = p
         self.pipe_state[(src_idx, cls)] = p.init()
+
+    def _require_stream(self, src_idx: int, cls: str) -> None:
+        """RecorderManager callback (possibly from a bus worker thread):
+        provision a voice dibit pipeline before the next step."""
+        if (src_idx, cls) in self.pipelines:
+            return
+        with self._pipe_lock:
+            self._pending_pipelines.add((src_idx, cls))
+
+    def _provision_pending(self) -> None:
+        with self._pipe_lock:
+            pending, self._pending_pipelines = self._pending_pipelines, set()
+        for src_idx, cls in sorted(pending, key=str):
+            if (src_idx, cls) not in self.pipelines:
+                log.info("provisioning %s pipeline on source %s", cls,
+                         src_idx)
+                self._make_pipeline(src_idx, cls)
 
     def block_len(self, src_idx: int) -> int:
         src = self.cfg.sources[src_idx]
@@ -290,6 +332,7 @@ class SiteRuntime:
     # ---- main loop ----
     def step(self) -> None:
         """Process one block from every source."""
+        self._provision_pending()
         for src_idx in self.cfg.sources:
             x = self.providers[src_idx](self.block_len(src_idx))
             if x is None:
@@ -319,13 +362,15 @@ class SiteRuntime:
                 # -> recorder-open before this block's voice feed, so
                 # recordings don't depend on worker-thread scheduling.
                 self.bus.flush()
-            # voice recorders
+            # voice recorders: every digital class feeds its own dibit
+            # stream (a CQPSK/TDMA call must not see C4FM decisions —
+            # MOD_TO_STREAM in control/recorder_manager.py).
             audio, power = outputs.get(_CLS_ANALOG, (None, None))
-            dig = outputs.get(_CLS_C4FM)
+            streams = {cls: (out[2], out[1])
+                       for cls, out in outputs.items()
+                       if cls in _DIGITAL_CLASSES}
             self.recorders.feed_source_block(
-                src_idx, audio=audio, power=power,
-                dibits=None if dig is None else dig[2],
-                valid=None if dig is None else dig[1])
+                src_idx, audio=audio, power=power, dibit_streams=streams)
         self.recorders.heartbeat_clients()
         for inst in self.instances:
             self.scheduler.heartbeat(inst.client)

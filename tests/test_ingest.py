@@ -38,16 +38,50 @@ def test_ring_cu8_offset_and_cf32():
     rf.close()
 
 
-def test_ring_overflow_drops_oldest():
+def test_ring_overflow_drops_incoming():
     r = ingest.IngestRing("cs8", capacity_samples=16)
     # capacity rounds to >= 16 samples (32 B); overfill with 100
-    data = np.arange(200, dtype=np.int8)
-    r.push(data)
-    assert r.dropped > 0
+    data = np.arange(-100, 100, dtype=np.int8)
+    accepted = r.push(data)
+    assert accepted == 16
+    assert r.dropped == 100 - 16
     n = r.available
+    assert n == 16
     out = r.pop(n)
-    # newest samples survive
-    assert out[-1, 1] == np.float32(np.int8(199)) / 128.0
+    # the producer never rewinds the consumer cursor: the data already
+    # buffered survives intact; the incoming excess was dropped.
+    np.testing.assert_allclose(
+        out.ravel(), np.arange(-100, -100 + 32, dtype=np.int8) / 128.0)
+    r.close()
+
+
+def test_ring_sustained_overflow_accounting():
+    """Under sustained overflow the ring never corrupts accounting and
+    delivers a contiguous (gap-at-push-boundaries) sample stream —
+    native/ingest/ingest.cc drop-incoming semantics."""
+    r = ingest.IngestRing("cs16", capacity_samples=64)
+    seq = np.arange(0, 8192, dtype=np.int16)
+    pos = 0
+    delivered = []
+    rng = np.random.default_rng(7)
+    while pos < len(seq):
+        chunk = seq[pos:pos + 2 * int(rng.integers(8, 90))]
+        pos += len(chunk)
+        r.push(chunk)
+        assert 0 <= r.available <= 64      # accounting never corrupts
+        if rng.random() < 0.7:
+            take = min(r.available, int(rng.integers(1, 40)))
+            if take:
+                out = r.pop(take)
+                assert out is not None
+                delivered.append(out)
+    got = (np.concatenate(delivered).ravel() * 32768.0).astype(np.int16)
+    # every delivered I sample is even, Q odd (pairs never torn) ...
+    assert np.all(got[0::2] % 2 == 0) and np.all(got[1::2] % 2 == 1)
+    # ... and the stream is strictly increasing (old data never replayed,
+    # never reordered) with drops appearing only as forward gaps.
+    assert np.all(np.diff(got.astype(np.int64)) > 0)
+    assert r.dropped + r.available + len(got) // 2 == len(seq) // 2
     r.close()
 
 

@@ -92,7 +92,7 @@ def test_runtime_grant_to_recording(tmp_path, capture):
         # the grant opened a recorder on the voice channel
         assert len(rt.recorders.active) == 1
         (rec, src, slot, _bid, kind), = rt.recorders.active.values()
-        assert kind == "p25"        # C4FM system + FDMA IDEN
+        assert kind == "c4fm"       # C4FM system + FDMA IDEN
     finally:
         rt.close()
         set_default_vocoder(None)
@@ -109,6 +109,73 @@ def test_runtime_grant_to_recording(tmp_path, capture):
     from radiocapture_tpu.audio.wav import read_wav
     pcm, rate = read_wav(wavs[0])
     assert rate == 8000 and len(pcm) > 1000
+
+
+def test_runtime_cqpsk_voice_routing(tmp_path):
+    """CQPSK (LSM) systems route voice through the CQPSK pipeline, not
+    the FM-discriminator path (which would yield garbage dibits and a
+    silently empty recording) — ADVICE r1, runtime dibit_streams."""
+    from radiocapture_tpu.audio import imbe as I
+    from radiocapture_tpu.audio.recorder import set_default_vocoder
+    I.install_default()
+
+    iden = P.pack_tsbk("IDEN_UP", **{
+        "Identifier": 1, "BW": 100,
+        "Base Frequency": int(VC / 5), "Channel Spacing": 50,
+        "Transmit Offset": 0x1B4})
+    grant = P.pack_tsbk("GRP_V_CH_GRANT", last_block=True, **{
+        "Channel": 0x1000, "Group Address": 600, "Source Address": 43})
+    frames = [P.build_tsdu_frame(0x293, [iden]),
+              P.build_tsdu_frame(0x293, [grant])] * 8
+    cc_iq = M.cqpsk_modulate(B.bits_to_dibits(np.concatenate(frames)),
+                             fs=25000.0)
+    cc_up = M.upsample_to(cc_iq, 25000.0, SAMP)
+    enc = I.ImbeEncoder()
+    vc_cw = enc.encode_params(b0=90, voicing=0xFFF, gain=42, amps=[3] * 56)
+    lc = P.make_link_control(0x0, tgid=600, source_id=43)
+    ldus = [P.build_ldu1_frame(0x293, lc, np.stack([vc_cw] * 9))
+            for _ in range(12)]
+    vc_iq = M.upsample_to(
+        M.cqpsk_modulate(B.bits_to_dibits(np.concatenate(ldus)),
+                         fs=25000.0), 25000.0, SAMP)
+    capture = M.multi_channel(SAMP, [(CC - CENTER, cc_up),
+                                     (VC - CENTER, vc_iq)], len(cc_up),
+                              noise_floor_db=-60.0)
+
+    cfg = _config(tmp_path)
+    cfg.systems[0].modulation = "CQPSK"
+    rt = SiteRuntime(cfg, {0: FileSource(capture)}, keep_wav=True)
+    rt.use_stream_clock()
+    completed = []
+    rt.bus.subscribe("/queue/call_management/call_complete",
+                     completed.append)
+    try:
+        # CQPSK voice pipelines are provisioned up front for LSM systems
+        assert (0, "cqpsk") in rt.pipelines
+        n_blocks = int(len(capture) // rt.block_len(0)) - 1
+        rt.run(n_blocks=min(n_blocks, 40))
+        assert rt.instances[0].engine.is_locked
+        assert len(rt.recorders.active) == 1
+        (rec, _src, _slot, _bid, kind), = rt.recorders.active.values()
+        assert kind == "cqpsk"
+        assert rec.cdr["modulation_type"] == "p25_cqpsk"
+    finally:
+        rt.close()
+        set_default_vocoder(None)
+    deadline = time.time() + 3.0
+    while not completed and time.time() < deadline:
+        time.sleep(0.05)
+    assert completed, "no call_complete event"
+    cdr = completed[0]["cdr"]
+    assert cdr["system_group_local"] == 600
+    wavs = glob.glob(os.path.join(cfg.audio_dir, "**", "*.wav"),
+                     recursive=True)
+    assert wavs, "no recording written"
+    from radiocapture_tpu.audio.wav import read_wav
+    pcm, rate = read_wav(wavs[0])
+    # voice frames actually decoded through the CQPSK dibit stream
+    assert rate == 8000 and len(pcm) > 1000
+    assert np.any(pcm != 0)
 
 
 def test_runtime_presence_and_quality(tmp_path, capture):
