@@ -394,6 +394,22 @@ def build_tlc_frame(nac: int, lc144: np.ndarray) -> np.ndarray:
     return insert_status(np.concatenate(parts))
 
 
+def build_hdu_frame(nac: int, mi: np.ndarray | None = None, mfid: int = 0,
+                    algid: int = 0, kid: int = 0, tgid: int = 0) -> np.ndarray:
+    """Header Data Unit: 120 info bits -> RS(36,20) -> 36 Golay(18,6)
+    words (inverse of _parse_hdu; reference decode: p25_general.py:21-36)."""
+    if mi is None:
+        mi = np.zeros(72, np.uint8)
+    info = np.concatenate([np.asarray(mi, np.uint8),
+                           B.int_to_bits(mfid, 8), B.int_to_bits(algid, 8),
+                           B.int_to_bits(kid, 16), B.int_to_bits(tgid, 16)])
+    coded = rs_36_20.encode_bits(info)  # 216 bits = 36 hexbits
+    words = [G.encode_18_6(d) for d in coded.reshape(36, 6)]
+    parts = [FRAME_SYNC_BITS, make_nid(nac, DUID_HDU),
+             np.concatenate(words)]
+    return insert_status(np.concatenate(parts))
+
+
 def build_ldu1_frame(nac: int, lc144: np.ndarray,
                      vc_bits: np.ndarray | None = None) -> np.ndarray:
     """LDU1 with the interleaved vc/lc/lsd layout (inverse of

@@ -102,9 +102,11 @@ def test_ldu1_frame_roundtrip(rng):
     np.testing.assert_array_equal(fr.fields["vc"][3], vc[3])
 
 
-def test_field_tables_match_reference_layout():
-    """Every opcode's field widths sum to <= 64 payload bits, and the
-    names match the reference's tables (protocol facts check)."""
+def test_field_tables_structural_invariants():
+    """Structural check only: every opcode's field widths sum to <= 64
+    payload bits.  Name-by-name equality with the reference's
+    p25_cai.py / p25_moto.py tables is asserted differentially in
+    tests/test_reference_parity.py::test_tsbk_field_tables_match_reference_exactly."""
     from radiocapture_tpu.protocol.p25_fields import TSBK_OSP, TSBK_MOTO
     assert len(TSBK_OSP) == 44
     assert len(TSBK_MOTO) == 4
