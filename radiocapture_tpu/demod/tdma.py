@@ -1,26 +1,60 @@
-"""P25 Phase 2 TDMA voice-channel burst layer.
+"""P25 Phase 2 TDMA voice-channel air interface (TIA-102.BBAC).
 
 The reference delegates Phase 2 entirely to op25's C++
 ``p25_frame_assembler`` with ``phase2_tdma=True``: the per-call
 receiver sets the scrambler xormask from ``p25p2_lfsr(nac, sysid,
 wacn)`` and the wanted slot id, and the assembler does sync search,
 descrambling, slot demux, and voice extraction
-(logging_receiver.py:353-363, 317-321). This module is that layer,
+(logging_receiver.py:353-363, 317-321).  This module is that layer,
 host-side, consuming the 6000 Bd dibit stream the CQPSK pipeline
 produces.
 
-Structure implemented (published Phase 2 geometry): 6000 Bd → 12000
-bps; 360-bit (180-dibit) bursts; a 4320-bit scrambling superframe of 12
-bursts whose keystream comes from ``fec.lfsr``; two logical voice
-channels, one per alternating burst (slot 0 = even bursts); 4V bursts
-carry four 72-bit AMBE+2 voice codewords, 2V bursts carry two plus a
-156-bit MAC payload. Field offsets inside the burst (sync marker, ISCH
-burst descriptor) are a documented framework profile pending off-air
-validation — the closed-loop modulator in ``testing.modulators`` emits
-the same profile. AMBE+2 audio decode is intentionally out of scope
-(the native vocoder covers IMBE/Phase 1); voice codewords are captured
-raw so recordings keep evidentiary value (``CallRecorder`` writes them
-to a ``.vb`` sidecar).
+Air-interface structure (published TIA-102.BBAC geometry, as used by
+every open implementation):
+
+* 12000 bps / 6000 symbols per second, H-DQPSK outbound.
+* **Superframe** = 4320 bits = 2160 dibits = 360 ms = 12 bursts.  This
+  equals the descrambler LFSR period (``fec.lfsr``, proven
+  bit-identical to the reference's p25p2_lfsr.py in
+  tests/test_reference_parity.py).
+* **Burst** = 180 dibits = 30 ms: a 20-dibit (40-bit) inter-slot
+  signalling channel (ISCH) followed by a 160-dibit (320-bit) timeslot
+  payload.  Bursts alternate logical channels: even burst index ->
+  TDMA channel 0, odd -> channel 1.
+* **S-ISCH**: the ISCH of every even burst is the published 40-bit
+  Phase 2 frame sync ``0x575D57F7FF`` (only outer-deviation symbols,
+  like the Phase 1 sync), transmitted in clear.
+* **I-ISCH**: the ISCH of every odd burst is an informational
+  codeword carrying (channel number, ISCH location within the
+  superframe, half-superframe flag, 4-bit superframe counter) — enough
+  to recover absolute scrambler alignment from any single burst pair.
+  Field semantics follow the standard; the concrete (40,9) codeword
+  construction here (Golay(24,12) + 16-bit repetition check, whitened
+  with the 0x184229D461 mask so no I-ISCH aliases the sync) is a
+  reconstruction to be validated against off-air captures — the
+  standard's exact code tables are not reproduced in any source
+  available to this build.
+* **Burst schedule** (per superframe): bursts 0-7 are 4V voice bursts,
+  8-9 are 2V voice bursts, 10-11 are SACCH signalling bursts.  Per
+  channel that is 4x4V + 1x2V = 18 voice codewords per 360 ms — one
+  AMBE+2 codeword per 20 ms, the published vocoder cadence.
+* **4V payload** (320 bits): four 72-bit voice codewords (288) +
+  24-bit ESS-B fragment + 8 reserved bits.
+* **2V payload**: two voice codewords (144) + 96-bit ESS-A
+  (MI 72, ALGID 8, KeyID 16) + 80 reserved bits.
+* **SACCH payload**: one 320-bit MAC PDU; first octet is the MAC
+  opcode (PTT / END_PTT / IDLE / ACTIVE / HANGTIME vocabulary used by
+  open trunking implementations).
+* **Scrambling**: the 4320-bit-per-superframe keystream is indexed by
+  absolute superframe bit position and applied to timeslot payloads
+  only; ISCH fields ride in clear (the sync must be detectable before
+  the key is known).  Keystream bits falling on ISCH positions are
+  skipped.
+
+AMBE+2 audio synthesis is intentionally out of scope (the native
+vocoder covers IMBE/Phase 1); voice codewords are captured raw so
+recordings keep evidentiary value (``CallRecorder`` writes them to a
+``.vb`` sidecar).
 """
 
 from __future__ import annotations
@@ -29,60 +63,183 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from radiocapture_tpu.fec import bits as B
+from radiocapture_tpu.fec import golay as G
 from radiocapture_tpu.fec import lfsr as L
 
-BURST_DIBITS = 180            # 360 bits
+BURST_DIBITS = 180            # 360 bits, 30 ms
 SUPERFRAME_BURSTS = 12        # 4320 bits scrambling period
-SYNC_DIBITS = np.array([3, 3, 1, 1, 3, 1, 3, 1, 1, 3,
-                        1, 1, 3, 3, 1, 3, 1, 3, 3, 1], np.uint8)
-N_SYNC = len(SYNC_DIBITS)
-N_ISCH = 10                   # burst descriptor dibits (slot/type/seq)
-PAYLOAD_DIBITS = BURST_DIBITS - N_SYNC - N_ISCH       # 150
+SUPERFRAME_DIBITS = BURST_DIBITS * SUPERFRAME_BURSTS   # 2160
+N_ISCH = 20                   # dibits
+PAYLOAD_DIBITS = BURST_DIBITS - N_ISCH                 # 160 (320 bits)
+
+# Published 40-bit Phase 2 frame sync (S-ISCH).
+SYNC_MAGIC = 0x575D57F7FF
+SYNC_DIBITS = B.bits_to_dibits(np.array(
+    [(SYNC_MAGIC >> (39 - i)) & 1 for i in range(40)], np.uint8))
+
+# I-ISCH whitening mask (constant used by open implementations).
+ISCH_MASK = 0x184229D461
 
 BURST_4V = 0
 BURST_2V = 1
-BURST_MAC = 2                 # MAC-only (idle / signaling)
+BURST_SACCH = 2
 
-_VC_DIBITS = 36               # one AMBE+2 codeword = 72 bits
+#: burst kind by absolute superframe burst index
+BURST_SCHEDULE = (BURST_4V,) * 8 + (BURST_2V,) * 2 + (BURST_SACCH,) * 2
+
+VOICE_BITS = 72               # one AMBE+2 voice codeword
+ESS_B_BITS = 24               # per-4V-burst encryption-sync fragment
+ESS_A_BITS = 96               # 2V burst: MI(72) + ALGID(8) + KID(16)
+
+# MAC PDU opcodes (vocabulary shared by open trunking implementations).
+MAC_PTT = 0x01
+MAC_END_PTT = 0x02
+MAC_IDLE = 0x03
+MAC_ACTIVE = 0x04
+MAC_HANGTIME = 0x07
 
 
+# ------------------------------------------------------------------ ISCH
+def isch_encode(chn: int, loc: int, fr: int, cnt: int) -> np.ndarray:
+    """I-ISCH: 9 info bits -> 40-bit codeword -> 20 dibits.
+
+    info = chn(2) | loc(2) | fr(1) | cnt(4).  Codeword = Golay(24,12)
+    of (info9 << 3) followed by a 16-bit repetition of the Golay word's
+    first 16 bits, XOR-whitened with ISCH_MASK.  See module docstring
+    for the reconstruction caveat."""
+    info9 = ((chn & 3) << 7) | ((loc & 3) << 5) | ((fr & 1) << 4) | (cnt & 0xF)
+    info12 = B.int_to_bits(info9 << 3, 12)
+    gol = G.encode_24_12(info12)
+    cw = np.concatenate([gol, gol[:16]])
+    mask = np.array([(ISCH_MASK >> (39 - i)) & 1 for i in range(40)],
+                    np.uint8)
+    return B.bits_to_dibits(cw ^ mask)
+
+
+def isch_decode(dibits20: np.ndarray) -> tuple[int, int, int, int] | None:
+    """Inverse of isch_encode; Golay corrects <=3 bit errors, the
+    repetition tail must agree in >=14 of 16 positions."""
+    bits = B.dibits_to_bits(np.asarray(dibits20, np.uint8))
+    mask = np.array([(ISCH_MASK >> (39 - i)) & 1 for i in range(40)],
+                    np.uint8)
+    cw = bits ^ mask
+    dec, _ = G.decode_24_12(cw[:24])
+    if dec is None:
+        return None
+    reenc = G.encode_24_12(dec)
+    if int((reenc[:16] != cw[24:40]).sum()) > 2:
+        return None
+    info9 = B.bits_to_int(dec) >> 3
+    if B.bits_to_int(dec) & 0x7:
+        return None
+    return ((info9 >> 7) & 3, (info9 >> 5) & 3,
+            (info9 >> 4) & 1, info9 & 0xF)
+
+
+def _iisch_for_burst(i: int, superframe: int) -> np.ndarray:
+    """I-ISCH dibits for odd burst index i (1,3,..,11): loc/fr encode
+    the pair position so a receiver can re-anchor from one pair."""
+    assert i % 2 == 1
+    fr = i // 6
+    loc = (i % 6) // 2
+    return isch_encode(chn=1, loc=loc, fr=fr, cnt=superframe & 0xF)
+
+
+def _burst_index_from_iisch(loc: int, fr: int) -> int:
+    """Absolute odd-burst index encoded by (loc, fr)."""
+    return 6 * fr + 2 * loc + 1
+
+
+# ------------------------------------------------------------------ MAC
+def parse_mac(bits320: np.ndarray) -> dict:
+    """SACCH MAC PDU: opcode octet + opcode-specific fields.  The
+    trunking-relevant messages carry the talkgroup/source this capture
+    platform tags recordings with."""
+    b = np.asarray(bits320, np.uint8)
+    op = B.bits_to_int(b[:8])
+    r: dict = {"opcode": op}
+    if op == MAC_PTT:
+        r["name"] = "MAC_PTT"
+        r["mi"] = B.hexstr(b[8:80])
+        r["algid"] = B.bits_to_int(b[80:88])
+        r["keyid"] = B.bits_to_int(b[88:104])
+        r["tgid"] = B.bits_to_int(b[104:120])
+        r["source"] = B.bits_to_int(b[120:144])
+    elif op == MAC_END_PTT:
+        r["name"] = "MAC_END_PTT"
+        r["tgid"] = B.bits_to_int(b[8:24])
+        r["source"] = B.bits_to_int(b[24:48])
+    elif op == MAC_IDLE:
+        r["name"] = "MAC_IDLE"
+    elif op == MAC_ACTIVE:
+        r["name"] = "MAC_ACTIVE"
+    elif op == MAC_HANGTIME:
+        r["name"] = "MAC_HANGTIME"
+        r["tgid"] = B.bits_to_int(b[8:24])
+    else:
+        r["name"] = "MAC_UNKNOWN"
+    return r
+
+
+def make_mac(opcode: int, mi: int = 0, algid: int = 0, keyid: int = 0,
+             tgid: int = 0, source: int = 0) -> np.ndarray:
+    """Fixture encoder for a 320-bit MAC PDU."""
+    b = np.zeros(320, np.uint8)
+    b[:8] = B.int_to_bits(opcode, 8)
+    if opcode == MAC_PTT:
+        b[8:80] = B.int_to_bits(mi, 72)
+        b[80:88] = B.int_to_bits(algid, 8)
+        b[88:104] = B.int_to_bits(keyid, 16)
+        b[104:120] = B.int_to_bits(tgid, 16)
+        b[120:144] = B.int_to_bits(source, 24)
+    elif opcode == MAC_END_PTT:
+        b[8:24] = B.int_to_bits(tgid, 16)
+        b[24:48] = B.int_to_bits(source, 24)
+    elif opcode == MAC_HANGTIME:
+        b[8:24] = B.int_to_bits(tgid, 16)
+    return b
+
+
+# ----------------------------------------------------------------- burst
 @dataclass
 class Burst:
-    slot: int                 # 0 | 1
-    kind: int                 # BURST_4V | BURST_2V | BURST_MAC
-    seq: int                  # burst index inside the superframe
+    slot: int                 # TDMA channel: 0 | 1 (= burst index & 1)
+    kind: int                 # BURST_4V | BURST_2V | BURST_SACCH
+    seq: int                  # absolute burst index in the superframe
     voice: list = field(default_factory=list)   # [72-bit np arrays]
-    mac: np.ndarray | None = None
+    ess: np.ndarray | None = None     # raw ESS-A/ESS-B bits
+    mac: np.ndarray | None = None     # raw 320-bit SACCH payload
+    mac_msg: dict | None = None
 
 
-def _isch_encode(slot: int, kind: int, seq: int) -> np.ndarray:
-    """10-dibit burst descriptor: 2 bits slot, 2 bits kind, 4 bits seq,
-    repeated (10,5) for robustness."""
-    val = ((slot & 1) << 7) | ((kind & 3) << 5) | ((seq & 0xF) << 1) | 1
-    bits = [(val >> (7 - i)) & 1 for i in range(8)] + [0, 0]
-    d = np.array([(bits[i] << 1) | bits[i] for i in range(10)], np.uint8)
-    return d
-
-
-def _isch_decode(dibits: np.ndarray) -> tuple[int, int, int] | None:
-    # majority over the duplicated bit pair
-    bits = ((dibits >> 1) + (dibits & 1) >= 1).astype(np.uint8)[:8]
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
-    if not val & 1:
-        return None
-    return (val >> 7) & 1, (val >> 5) & 3, (val >> 1) & 0xF
+def _parse_payload(bits320: np.ndarray, seq: int) -> Burst:
+    kind = BURST_SCHEDULE[seq]
+    b = Burst(slot=seq & 1, kind=kind, seq=seq)
+    if kind == BURST_4V:
+        b.voice = [bits320[i * VOICE_BITS:(i + 1) * VOICE_BITS].copy()
+                   for i in range(4)]
+        b.ess = bits320[288:288 + ESS_B_BITS].copy()
+    elif kind == BURST_2V:
+        b.voice = [bits320[i * VOICE_BITS:(i + 1) * VOICE_BITS].copy()
+                   for i in range(2)]
+        b.ess = bits320[144:144 + ESS_A_BITS].copy()
+    else:
+        b.mac = bits320.copy()
+        b.mac_msg = parse_mac(bits320)
+    return b
 
 
 class TdmaFramer:
-    """Streaming sync search + descramble + burst parse for one voice
-    channel (both slots)."""
+    """Streaming S-ISCH sync search + I-ISCH alignment recovery +
+    payload descramble + burst parse for one 6000 Bd dibit stream
+    (both TDMA channels)."""
 
     def __init__(self, nac: int, sysid: int, wacn: int):
         self.key = L.keystream_dibits(nac, sysid, wacn)   # [2160]
         self._buf = np.zeros(0, np.uint8)
         self._synced = False
+        self._even_idx: int | None = None  # superframe index of buf[0]
         self.errors = 0
 
     def feed(self, dibits: np.ndarray) -> list[Burst]:
@@ -93,101 +250,129 @@ class TdmaFramer:
             if not self._synced:
                 idx = self._find_sync(self._buf)
                 if idx is None:
-                    keep = max(0, len(self._buf) - N_SYNC + 1)
+                    keep = max(0, len(self._buf) - N_ISCH + 1)
                     self._buf = self._buf[keep:]
                     return out
                 self._buf = self._buf[idx:]
                 self._synced = True
-            if len(self._buf) < BURST_DIBITS:
+                self._even_idx = None
+            # process one burst PAIR: even (sync) burst + odd burst —
+            # the odd burst's I-ISCH fixes absolute alignment.
+            if len(self._buf) < 2 * BURST_DIBITS:
                 return out
-            burst = self._buf[:BURST_DIBITS]
-            if not np.array_equal(burst[:N_SYNC], SYNC_DIBITS):
+            pair = self._buf[:2 * BURST_DIBITS]
+            if not np.array_equal(pair[:N_ISCH], SYNC_DIBITS):
                 self._synced = False
                 self.errors += 1
                 self._buf = self._buf[1:]
                 continue
-            parsed = self._parse(burst)
-            if parsed is not None:
-                out.append(parsed)
+            hdr = isch_decode(pair[BURST_DIBITS:BURST_DIBITS + N_ISCH])
+            if hdr is not None:
+                _chn, loc, fr, _cnt = hdr
+                self._even_idx = _burst_index_from_iisch(loc, fr) - 1
+            elif self._even_idx is not None:
+                self._even_idx = (self._even_idx + 2) % SUPERFRAME_BURSTS
             else:
+                # synced but not yet aligned: drop the pair, try next
                 self.errors += 1
-            self._buf = self._buf[BURST_DIBITS:]
+                self._buf = self._buf[2 * BURST_DIBITS:]
+                continue
+            for k in (0, 1):
+                seq = (self._even_idx + k) % SUPERFRAME_BURSTS
+                payload = pair[k * BURST_DIBITS + N_ISCH:
+                               (k + 1) * BURST_DIBITS]
+                out.append(_parse_payload(self._descramble(payload, seq),
+                                          seq))
+            self._buf = self._buf[2 * BURST_DIBITS:]
+
+    def _descramble(self, payload_dibits: np.ndarray,
+                    seq: int) -> np.ndarray:
+        """XOR with the keystream dibits at the payload's absolute
+        superframe positions (ISCH positions skipped — clear on air)."""
+        off = seq * BURST_DIBITS + N_ISCH
+        clear = payload_dibits ^ self.key[off:off + PAYLOAD_DIBITS]
+        return B.dibits_to_bits(clear)
 
     @staticmethod
     def _find_sync(buf: np.ndarray) -> int | None:
-        if len(buf) < N_SYNC:
+        if len(buf) < N_ISCH:
             return None
-        win = np.lib.stride_tricks.sliding_window_view(buf, N_SYNC)
+        win = np.lib.stride_tricks.sliding_window_view(buf, N_ISCH)
         hits = np.nonzero((win == SYNC_DIBITS).all(axis=1))[0]
         return int(hits[0]) if len(hits) else None
 
-    def _parse(self, burst: np.ndarray) -> Burst | None:
-        hdr = _isch_decode(burst[N_SYNC:N_SYNC + N_ISCH])
-        if hdr is None:
-            return None
-        slot, kind, seq = hdr
-        # Descramble payload with the superframe-aligned keystream
-        # (sync + ISCH ride in clear so sync search works pre-key).
-        koff = (seq % SUPERFRAME_BURSTS) * BURST_DIBITS + N_SYNC + N_ISCH
-        key = self.key[koff:koff + PAYLOAD_DIBITS]
-        payload = burst[N_SYNC + N_ISCH:] ^ key
-        bits = np.empty(PAYLOAD_DIBITS * 2, np.uint8)
-        bits[0::2] = payload >> 1
-        bits[1::2] = payload & 1
-        b = Burst(slot=slot, kind=kind, seq=seq)
-        if kind == BURST_4V:
-            for i in range(4):
-                b.voice.append(bits[i * 72:(i + 1) * 72].copy())
-        elif kind == BURST_2V:
-            for i in range(2):
-                b.voice.append(bits[i * 72:(i + 1) * 72].copy())
-            b.mac = bits[144:300].copy()
+
+# ---------------------------------------------------------------- encode
+def build_superframe(nac: int, sysid: int, wacn: int,
+                     voice: dict[int, list[np.ndarray]],
+                     mac: dict[int, np.ndarray] | None = None,
+                     superframe: int = 0) -> np.ndarray:
+    """One 2160-dibit superframe.  ``voice[chn]`` supplies up to 18
+    codewords (72 bits each) for TDMA channel chn; ``mac[chn]`` the
+    320-bit SACCH payload.  Inverse of :class:`TdmaFramer`."""
+    key = L.keystream_dibits(nac, sysid, wacn)
+    mac = mac or {}
+    vq = {0: list(voice.get(0, [])), 1: list(voice.get(1, []))}
+    chunks = []
+    for i in range(SUPERFRAME_BURSTS):
+        kind = BURST_SCHEDULE[i]
+        chn = i & 1
+        bits = np.zeros(PAYLOAD_DIBITS * 2, np.uint8)
+        if kind in (BURST_4V, BURST_2V):
+            nvc = 4 if kind == BURST_4V else 2
+            for j in range(nvc):
+                vc = (vq[chn].pop(0) if vq[chn]
+                      else np.zeros(VOICE_BITS, np.uint8))
+                bits[j * VOICE_BITS:(j + 1) * VOICE_BITS] = vc
         else:
-            b.mac = bits[:300].copy()
-        return b
+            payload = mac.get(chn)
+            if payload is None:
+                payload = make_mac(MAC_ACTIVE)
+            bits[:] = payload
+        payload_d = B.bits_to_dibits(bits)
+        off = i * BURST_DIBITS + N_ISCH
+        payload_d = payload_d ^ key[off:off + PAYLOAD_DIBITS]
+        isch = (SYNC_DIBITS if i % 2 == 0
+                else _iisch_for_burst(i, superframe))
+        chunks.append(np.concatenate([isch, payload_d]))
+    return np.concatenate(chunks)
 
 
 def build_tdma_stream(nac: int, sysid: int, wacn: int,
-                      bursts: list[Burst],
+                      voice: dict[int, list[np.ndarray]],
+                      mac: dict[int, np.ndarray] | None = None,
+                      n_superframes: int = 1,
                       lead_dibits: int = 37) -> np.ndarray:
-    """Inverse of :class:`TdmaFramer` for fixtures: emit the dibit
-    stream for ``bursts`` (seq auto-assigned in order), scrambled with
-    the same keystream, preceded by junk dibits."""
+    """Fixture stream: junk lead-in + n scrambled superframes.  Voice
+    codewords are consumed across superframes (18 per channel each)."""
     rng = np.random.default_rng(1234)
-    key = L.keystream_dibits(nac, sysid, wacn)
+    vq = {0: list((voice or {}).get(0, [])),
+          1: list((voice or {}).get(1, []))}
     chunks = [rng.integers(0, 4, lead_dibits).astype(np.uint8)]
-    for i, b in enumerate(bursts):
-        seq = i % SUPERFRAME_BURSTS
-        bits = np.zeros(PAYLOAD_DIBITS * 2, np.uint8)
-        if b.kind == BURST_4V:
-            for j, vc in enumerate(b.voice[:4]):
-                bits[j * 72:(j + 1) * 72] = vc
-        elif b.kind == BURST_2V:
-            for j, vc in enumerate(b.voice[:2]):
-                bits[j * 72:(j + 1) * 72] = vc
-            if b.mac is not None:
-                bits[144:300] = b.mac
-        elif b.mac is not None:
-            bits[:300] = b.mac
-        payload = (bits[0::2] << 1 | bits[1::2]).astype(np.uint8)
-        koff = seq * BURST_DIBITS + N_SYNC + N_ISCH
-        payload ^= key[koff:koff + PAYLOAD_DIBITS]
-        chunks.append(np.concatenate([
-            SYNC_DIBITS, _isch_encode(b.slot, b.kind, seq), payload]))
+    for sf in range(n_superframes):
+        take = {c: vq[c][:18] for c in (0, 1)}
+        for c in (0, 1):
+            vq[c] = vq[c][18:]
+        chunks.append(build_superframe(nac, sysid, wacn, take, mac,
+                                       superframe=sf))
     return np.concatenate(chunks)
 
 
 class TdmaVoiceReceiver:
     """Per-call slot filter: the role the configured frame assembler
     plays for one ``logging_receiver`` (slot id + xormask,
-    logging_receiver.py:353-363). Collects the wanted slot's voice
-    codewords and reports activity."""
+    logging_receiver.py:353-363).  Collects the wanted channel's voice
+    codewords and reports activity; MAC END_PTT/IDLE on the channel's
+    SACCH marks call end (parity with the reference's p25_sensor TLC
+    teardown, logging_receiver.py:381-473)."""
 
     def __init__(self, nac: int, sysid: int, wacn: int, slot: int):
         self.framer = TdmaFramer(nac, sysid, wacn)
         self.slot = int(slot)
         self.voice_frames: list[np.ndarray] = []
         self.bursts = 0
+        self.ended = False
+        self.last_mac: dict | None = None
 
     def feed(self, dibits: np.ndarray) -> int:
         """Returns the number of voice bursts seen for our slot."""
@@ -199,6 +384,10 @@ class TdmaVoiceReceiver:
             if b.voice:
                 n += 1
                 self.voice_frames.extend(b.voice)
+            if b.mac_msg is not None:
+                self.last_mac = b.mac_msg
+                if b.mac_msg["opcode"] in (MAC_END_PTT, MAC_IDLE):
+                    self.ended = True
         return n
 
     @property

@@ -1,88 +1,145 @@
-"""P25 Phase 2 TDMA burst layer: LFSR descramble, slot demux, voice
-capture (reference delegates this to op25 p25_frame_assembler with
-phase2_tdma=True; logging_receiver.py:317-321, 353-363)."""
+"""P25 Phase 2 TDMA air interface: published sync, ISCH alignment,
+LFSR descramble, 4V/2V/SACCH demux, voice capture (reference delegates
+this to op25 p25_frame_assembler with phase2_tdma=True;
+logging_receiver.py:317-321, 353-363)."""
 
 import numpy as np
 
 from radiocapture_tpu.audio.recorder import CallRecorder
 from radiocapture_tpu.control.bus import InProcBus
 from radiocapture_tpu.demod import tdma as T
+from radiocapture_tpu.fec import bits as B
 
 NAC, SYSID, WACN = 0x293, 0x2C1, 0xBEE00
 
 
-def _mk_voice(i):
-    rng = np.random.default_rng(100 + i)
-    return rng.integers(0, 2, 72).astype(np.uint8)
+def _mk_voice(n, seed=0):
+    rng = np.random.default_rng(100 + seed)
+    return [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(n)]
 
 
-def _mk_bursts(n=12):
-    bursts = []
-    for i in range(n):
-        slot = i % 2
-        if i % 6 == 5:
-            bursts.append(T.Burst(slot=slot, kind=T.BURST_2V, seq=0,
-                                  voice=[_mk_voice(10 * i), _mk_voice(
-                                      10 * i + 1)],
-                                  mac=np.ones(156, np.uint8)))
-        else:
-            bursts.append(T.Burst(slot=slot, kind=T.BURST_4V, seq=0,
-                                  voice=[_mk_voice(10 * i + j)
-                                         for j in range(4)]))
-    return bursts
+def test_sync_is_published_phase2_pattern():
+    """S-ISCH must be the published 40-bit sync 0x575D57F7FF and use
+    only outer-deviation symbols (dibits 1/3), like the Phase 1 sync."""
+    bits = B.dibits_to_bits(T.SYNC_DIBITS)
+    assert B.bits_to_int(bits) == 0x575D57F7FF
+    assert set(np.unique(T.SYNC_DIBITS)) <= {1, 3}
+
+
+def test_superframe_geometry_matches_lfsr_period():
+    assert T.SUPERFRAME_DIBITS * 2 == 4320  # LFSR superframe period
+    assert T.BURST_DIBITS == 180            # 30 ms at 6000 Bd
+    assert len(T.BURST_SCHEDULE) == 12
+    # per channel: 4x4V + 1x2V + 1xSACCH
+    for chn in (0, 1):
+        kinds = [T.BURST_SCHEDULE[i] for i in range(12) if i % 2 == chn]
+        assert kinds == [T.BURST_4V] * 4 + [T.BURST_2V, T.BURST_SACCH]
+
+
+def test_isch_roundtrip_and_error_correction(rng):
+    for chn, loc, fr, cnt in [(1, 0, 0, 0), (1, 2, 1, 7), (0, 1, 0, 15)]:
+        d = T.isch_encode(chn, loc, fr, cnt)
+        assert len(d) == 20
+        assert T.isch_decode(d) == (chn, loc, fr, cnt)
+        # no I-ISCH may alias the sync
+        assert not np.array_equal(d, T.SYNC_DIBITS)
+        # corrupt 2 bits -> still decodes (Golay corrects)
+        bits = B.dibits_to_bits(d)
+        bits[[3, 17]] ^= 1
+        assert T.isch_decode(B.bits_to_dibits(bits)) == (chn, loc, fr, cnt)
 
 
 def test_tdma_roundtrip_descramble_and_slots():
-    bursts = _mk_bursts(12)
-    stream = T.build_tdma_stream(NAC, SYSID, WACN, bursts)
+    v0, v1 = _mk_voice(18, 1), _mk_voice(18, 2)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0, 1: v1})
     fr = T.TdmaFramer(NAC, SYSID, WACN)
-    # feed in awkward chunk sizes to exercise streaming resync
     got = []
+    # feed in awkward chunk sizes to exercise streaming resync
     for i in range(0, len(stream), 101):
         got.extend(fr.feed(stream[i:i + 101]))
     assert len(got) == 12
     assert fr.errors == 0
-    for sent, rec in zip(bursts, got):
-        assert rec.slot == sent.slot
-        assert rec.kind == sent.kind
-        assert len(rec.voice) == len(sent.voice)
-        for a, b in zip(sent.voice, rec.voice):
-            assert np.array_equal(a, b)
-        if sent.kind == T.BURST_2V:
-            assert np.array_equal(rec.mac, sent.mac)
+    rx = {0: [], 1: []}
+    for b in got:
+        assert b.kind == T.BURST_SCHEDULE[b.seq]
+        assert b.slot == b.seq % 2
+        rx[b.slot].extend(b.voice)
+    for chn, sent in ((0, v0), (1, v1)):
+        assert len(rx[chn]) == 18
+        for a, b in zip(sent, rx[chn]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_tdma_alignment_recovery_mid_superframe():
+    """Joining a transmission mid-superframe: the I-ISCH location/half
+    fields re-anchor the descrambler to the absolute burst index."""
+    v0 = _mk_voice(36, 3)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0},
+                                 n_superframes=2, lead_dibits=0)
+    # drop the first 4 bursts: reception starts at burst index 4
+    stream = stream[4 * T.BURST_DIBITS:]
+    fr = T.TdmaFramer(NAC, SYSID, WACN)
+    got = fr.feed(stream)
+    assert got, "no bursts framed"
+    assert got[0].seq == 4
+    rx0 = [vc for b in got if b.slot == 0 for vc in b.voice]
+    # voice from burst 4 onward of superframe 0: codewords 8..17, then 18..35
+    expect = v0[8:36]
+    assert len(rx0) == len(expect)
+    for a, b in zip(expect, rx0):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_tdma_wrong_key_does_not_decode_voice():
     """With the wrong (NAC, SYSID, WACN) the payload stays scrambled —
-    sync still locks (clear) but voice bits differ."""
-    bursts = _mk_bursts(4)
-    stream = T.build_tdma_stream(NAC, SYSID, WACN, bursts)
+    sync still locks (ISCH rides clear) but voice bits differ."""
+    v0 = _mk_voice(18, 4)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0})
     fr = T.TdmaFramer(NAC + 1, SYSID, WACN)
     got = fr.feed(stream)
-    assert len(got) == 4
-    mismatch = sum(
-        not np.array_equal(a, b)
-        for sent, rec in zip(bursts, got)
-        for a, b in zip(sent.voice, rec.voice))
-    assert mismatch >= 3
+    assert len(got) == 12
+    rx0 = [vc for b in got if b.slot == 0 for vc in b.voice]
+    mismatch = sum(not np.array_equal(a, b) for a, b in zip(v0, rx0))
+    assert mismatch >= 16
+
+
+def test_sacch_mac_parse_and_teardown():
+    """MAC_PTT tags the call; MAC_END_PTT on the channel's SACCH marks
+    call end (p25_sensor TLC-teardown parity)."""
+    mac0 = T.make_mac(T.MAC_END_PTT, tgid=42, source=777)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN,
+                                 {0: _mk_voice(18, 5)}, mac={0: mac0})
+    rx = T.TdmaVoiceReceiver(NAC, SYSID, WACN, slot=0)
+    rx.feed(stream)
+    assert rx.ended
+    assert rx.last_mac["name"] == "MAC_END_PTT"
+    assert rx.last_mac["tgid"] == 42
+    assert rx.last_mac["source"] == 777
+
+    ptt = T.parse_mac(T.make_mac(T.MAC_PTT, mi=0xABCDEF, algid=0x80,
+                                 keyid=5, tgid=9, source=100))
+    assert ptt["name"] == "MAC_PTT"
+    assert ptt["algid"] == 0x80 and ptt["keyid"] == 5
+    assert ptt["tgid"] == 9 and ptt["source"] == 100
 
 
 def test_tdma_slot_filter_receiver():
-    bursts = _mk_bursts(12)
-    stream = T.build_tdma_stream(NAC, SYSID, WACN, bursts)
+    v0, v1 = _mk_voice(18, 6), _mk_voice(10, 7)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0, 1: v1})
     rx0 = T.TdmaVoiceReceiver(NAC, SYSID, WACN, slot=0)
     rx1 = T.TdmaVoiceReceiver(NAC, SYSID, WACN, slot=1)
     rx0.feed(stream)
     rx1.feed(stream)
-    v0 = sum(len(b.voice) for b in bursts if b.slot == 0)
-    v1 = sum(len(b.voice) for b in bursts if b.slot == 1)
-    assert len(rx0.voice_frames) == v0
-    assert len(rx1.voice_frames) == v1
+    assert len(rx0.voice_frames) == 18
+    assert len(rx1.voice_frames) == 18  # padded with zero codewords
+    for a, b in zip(v0, rx0.voice_frames):
+        np.testing.assert_array_equal(a, b)
+    assert not rx0.ended  # MAC_ACTIVE default doesn't end the call
 
 
 def test_recorder_tdma_call_writes_vb_sidecar(tmp_path):
-    bursts = _mk_bursts(8)
-    stream = T.build_tdma_stream(NAC, SYSID, WACN, bursts)
+    v0 = _mk_voice(18, 8)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0})
     bus = InProcBus(num_workers=1)
     done = []
     bus.subscribe("/queue/call_management/call_complete", done.append)
@@ -101,6 +158,5 @@ def test_recorder_tdma_call_writes_vb_sidecar(tmp_path):
     import os
     vb = rec.filename[:-4] + ".vb"
     assert os.path.exists(vb)
-    n_voice = sum(len(b.voice) for b in bursts if b.slot == 0)
-    assert os.path.getsize(vb) == n_voice * 72 // 8
+    assert os.path.getsize(vb) == 18 * 72 // 8
     bus.close()
