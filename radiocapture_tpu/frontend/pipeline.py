@@ -92,6 +92,7 @@ class ControlPipeline:
         self.channel_rate = float(channel_rate)
         self.symbol_rate = float(symbol_rate)
         self.levels = tuple(levels)
+        self.deviation_hz = float(deviation_hz)
         self.bank = _make_bank(frontend, num_slots, samp_rate,
                                channel_rate)
         self.channel_fs = self.samp_rate / self.bank.decim
@@ -202,6 +203,31 @@ class ControlPipeline:
         """Per-slot ``offsets_norm`` for absolute channel frequencies."""
         return ((np.asarray(freqs_hz, np.float64) - center_hz)
                 / self.samp_rate).astype(np.float32)
+
+    # ---- AFC instrumentation (reference demod_watcher probe,
+    #      p25_control_demod.py:564-581) ----
+    def fine_freq_hz(self, state: ControlPipelineState) -> np.ndarray:
+        """Per-slot tracked residual carrier offset in Hz.
+
+        The fsk4 scan's ``fine_freq`` carry converges to the
+        discriminator DC in deviation units (±deviation_hz ↦ ±1);
+        scaling back gives the frequency error the reference reads off
+        its moving-average probe (p25_control_demod.py:123-127, 578).
+        Works on the wire-encoded state (fine_freq is float32 either
+        way)."""
+        return np.asarray(state.fsk4.fine_freq) * self.deviation_hz
+
+    def apply_freq_shift(self, state: ControlPipelineState,
+                         delta_hz: float) -> ControlPipelineState:
+        """Fold a source AFC retune of ``delta_hz`` into every slot's
+        tracking carry, so the loop doesn't transiently re-correct an
+        offset the mixer bank already removed (the reference avoids
+        this with its 5 Hz dead-band + slow accumulation,
+        rc_frontend/receiver.py:453-460; here the retune is exact so
+        the carry is compensated exactly)."""
+        ff = state.fsk4.fine_freq + np.float32(
+            delta_hz / self.deviation_hz)
+        return state._replace(fsk4=state.fsk4._replace(fine_freq=ff))
 
 
 class CqpskPipelineState(NamedTuple):

@@ -150,6 +150,12 @@ class ControlInstance:
 
 
 class SiteRuntime:
+    # AFC cadence/dead-band: the reference's demod_watcher polls the
+    # frequency probe every 0.5 s (p25_control_demod.py:564-581) and the
+    # frontend ignores corrections under 5 Hz (receiver.py:460).
+    AFC_INTERVAL_S = 1.0
+    AFC_DEADBAND_HZ = 5.0
+
     def __init__(self, cfg: RcConfig, iq_providers: dict,
                  bus=None, store=None, keep_wav: bool = False,
                  now_fn=None):
@@ -237,6 +243,7 @@ class SiteRuntime:
             self.metadata.notify_demod_new(t, inst.instance_uuid)
         self.blocks = 0
         self._last_quality = time.time()
+        self._last_afc = self.now()
 
     def _apply_split2(self) -> None:
         """``receiver_split2``: rewrite every physical source into two
@@ -380,6 +387,9 @@ class SiteRuntime:
         if self._deterministic and hasattr(self.bus, "flush"):
             self.bus.flush()
         self.blocks += 1
+        if self.now() - self._last_afc >= self.AFC_INTERVAL_S:
+            self._afc_sweep()
+            self._last_afc = self.now()
         now = time.time()
         if now - self._last_quality >= 10.0:     # quality window
             dt = now - self._last_quality
@@ -392,6 +402,50 @@ class SiteRuntime:
                     control_channel=inst.control_channel, site_id=sid)
             self._last_quality = now
         self.publish_presence()
+
+    def _afc_sweep(self) -> None:
+        """Close the reference's AFC loop: demod_watcher probe →
+        connector.report_offset → receiver.source_offset
+        (p25_control_demod.py:564-581, rc_frontend/receiver.py:436-475).
+
+        Each locked P25 C4FM control instance's fsk4 ``fine_freq`` carry
+        *is* the measured residual DC; convert to Hz, dead-band ±5 Hz,
+        and fold the negated measurement into the source's AFC offset
+        (the scheduler applies the reference's sanity clamp). The next
+        block's ``offsets_norm`` then mixes the whole source by the
+        correction, so every fsk4 carry on that source is compensated by
+        the applied delta to avoid a transient double-correction. One
+        correction per source per sweep — co-sited instances measure
+        the same LO error, exactly as the reference's multiple demods
+        all report into one frontend accumulator."""
+        done_sources: set[int] = set()
+        for inst in self.instances:
+            if (inst.cls != _CLS_C4FM or inst.source_idx is None
+                    or inst.slot is None or not inst.engine.is_locked
+                    or inst.source_idx in done_sources):
+                continue
+            key = (inst.source_idx, _CLS_C4FM)
+            pipe = self.pipelines.get(key)
+            if pipe is None:
+                continue
+            measured = float(
+                pipe.fine_freq_hz(self.pipe_state[key])[inst.slot])
+            if abs(measured) < self.AFC_DEADBAND_HZ:
+                continue
+            done_sources.add(inst.source_idx)
+            pool = self.scheduler.sources[inst.source_idx]
+            before = pool.afc_offset
+            after = self.scheduler.report_offset(inst.source_idx,
+                                                 -measured)
+            delta = after - before
+            if delta == 0.0:
+                continue
+            log.info("AFC: source %s measured %+.1f Hz -> afc %+.1f Hz",
+                     inst.source_idx, measured, after)
+            for (s, cls), p in self.pipelines.items():
+                if s == inst.source_idx and hasattr(p, "apply_freq_shift"):
+                    self.pipe_state[(s, cls)] = p.apply_freq_shift(
+                        self.pipe_state[(s, cls)], delta)
 
     def publish_presence(self) -> None:
         for inst in self.instances:

@@ -178,6 +178,43 @@ def test_runtime_cqpsk_voice_routing(tmp_path):
     assert np.any(pcm != 0)
 
 
+def test_runtime_afc_converges(tmp_path):
+    """Closed AFC loop (reference p25_control_demod.py:564-581 →
+    rc_frontend/receiver.py:436-475): a source LO error shifts every
+    channel; the locked C4FM instance's fsk4 fine-freq carry measures
+    it and the scheduler's source AFC offset converges to the error,
+    keeping the control channel decoding."""
+    LO_ERR = 400.0          # Hz of simulated dongle error
+    iden = P.pack_tsbk("IDEN_UP", **{
+        "Identifier": 1, "BW": 100,
+        "Base Frequency": int(VC / 5), "Channel Spacing": 50,
+        "Transmit Offset": 0x1B4})
+    frames = [P.build_tsdu_frame(0x293, [iden])] * 24
+    cc_iq = M.c4fm_modulate(B.bits_to_dibits(np.concatenate(frames)),
+                            fs=25000.0)
+    cc_up = M.upsample_to(cc_iq, 25000.0, SAMP)
+    # LO tuned LO_ERR too high: every carrier lands LO_ERR below its
+    # nominal baseband position.
+    capture = M.multi_channel(SAMP, [(CC - CENTER - LO_ERR, cc_up)],
+                              len(cc_up), noise_floor_db=-60.0)
+    cfg = _config(tmp_path)
+    rt = SiteRuntime(cfg, {0: FileSource(capture)})
+    rt.use_stream_clock()
+    rt.AFC_INTERVAL_S = 0.25
+    try:
+        rt.run(n_blocks=40)     # FileSource loops; ~2 s of stream
+        inst = rt.instances[0]
+        assert inst.engine.is_locked
+        afc = rt.scheduler.sources[0].afc_offset
+        assert abs(afc - LO_ERR) < 60.0, afc
+        # with the correction applied, the residual carry is ~zero again
+        key = (0, "c4fm")
+        resid = rt.pipelines[key].fine_freq_hz(rt.pipe_state[key])
+        assert abs(float(resid[inst.slot])) < 60.0
+    finally:
+        rt.close()
+
+
 def test_runtime_presence_and_quality(tmp_path, capture):
     cfg = _config(tmp_path)
     rt = SiteRuntime(cfg, {0: FileSource(capture)})
