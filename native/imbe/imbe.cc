@@ -1,4 +1,4 @@
-/* IMBE-architecture voice codec — implementation.
+/* IMBE 7200x4400 voice codec — implementation.
  *
  * Channel layer (exact, per the published IMBE 7200x4400 structure):
  *   144 bits = 4 x Golay(23,12) [u0..u3] + 3 x Hamming(15,11) [u4..u6]
@@ -6,15 +6,32 @@
  *   by the PN sequence pr' = (173*pr + 13849) mod 2^16 seeded with
  *   pr0 = u0 << 4, scramble bit = MSB.
  *
- * Parameter layer (framework profile — see imbe.h): the 88 information
- * bits carry, in order across u0..u7:
- *   b0   fundamental index        8 bits   w0 = 4*pi/(b0 + 39.5)
- *   vk   voicing band decisions  12 bits   band k covers harmonics
- *                                          3k+1..3k+3; ceil(L/3) used
- *   b2   frame gain              6 bits    G = 2^((b2 - 40)/4)
- *   b3+  per-harmonic log-amps  62 bits    flat q-bit quantizer,
- *                                          q = min(8, 62/L); first
- *                                          harmonics get the remainder
+ * Parameter layer (published IMBE model structure; see imbe.h for the
+ * exact-vs-reconstructed breakdown): the 88 information bits carry
+ *   b0   fundamental            8 bits   w0 = 4*pi/(b0 + 39.5)
+ *   b1   voicing decisions      K bits   K = min(12, (L+2)/3) bands,
+ *                                        band k covers harmonics
+ *                                        3k+1..3k+3
+ *   b2   frame gain             6 bits   log2 mean level, step 1/4
+ *   b3.. spectral amplitudes    74-K bits for the L-1 DCT coefficients
+ *        of the log2-amplitude prediction residuals: residuals are
+ *        grouped into 6 near-equal blocks, each block DCT'd; the 6
+ *        block DC terms form the PRBA vector whose own 6-point DCT
+ *        yields G0 (absorbed by the gain) and G1..G5; G1..G5 plus the
+ *        higher-order block coefficients (low order first, interleaved
+ *        across blocks) share the bit budget, MSB-plane first.
+ *   Prediction: log2 M_l = gain + rho * P_l + D_l with rho = 0.7 and
+ *   P_l the previous frame's mean-removed log amplitudes linearly
+ *   resampled from L_prev to L harmonics (closed loop: the encoder
+ *   tracks the decoder's reconstruction).
+ *
+ * Priority bit layout of the 88-bit stream d[] (= u0..u7 concatenated):
+ *   d[0..5]       b0 bits 7..2 (MSBs, best-protected)
+ *   d[6..9]       b2 bits 5..2
+ *   d[10..10+K-1] b1 voicing, band 0 first
+ *   d[10+K..83]   amplitude coefficient bits, bit-plane priority order
+ *   d[84..85]     b2 bits 1..0
+ *   d[86..87]     b0 bits 1..0 (LSBs, least-protected)
  *
  * Synthesis: classic MBE — voiced harmonics are phase-continuous
  * oscillators at l*w0 with per-sample linear amplitude/frequency
@@ -156,14 +173,126 @@ int imbe_harmonics_for_b0(int b0) {
   return l;
 }
 
-static void amp_bit_alloc(int L, int q[56]) {
-  int base = 62 / L, extra = 62 % L;
-  if (base > 8) { base = 8; extra = 0; }
-  for (int l = 0; l < L; ++l) q[l] = base + (l < extra ? 1 : 0);
-  for (int l = 0; l < L; ++l) if (q[l] > 8) q[l] = 8;
+int imbe_bands_for_L(int L) {
+  int k = (L + 2) / 3;
+  return k > 12 ? 12 : k;
 }
 
-/* ---- 88-bit param (de)serialization ---- */
+/* 6 near-equal blocks of the L residuals; earlier blocks take the
+ * remainder. */
+static void block_lengths(int L, int J[6]) {
+  int base = L / 6, extra = L % 6;
+  for (int i = 0; i < 6; ++i) J[i] = base + (i < extra ? 1 : 0);
+}
+
+/* Coefficient priority list: n = 0..4 are the PRBA DCT coefficients
+ * G1..G5; n >= 5 are the higher-order block DCT coefficients, low
+ * order first, interleaved across blocks (j = 1: blocks 0..5, then
+ * j = 2, ...).  N = 5 + (L - 6) = L - 1 coefficients share the
+ * A = 74 - K amplitude bits: floor(A/N) each, earlier (higher
+ * priority) coefficients take the remainder, capped at 8 bits
+ * (indices live in a uint8; any budget beyond the cap pads zero). */
+static int coef_alloc(int L, int K, int q[55]) {
+  int N = L - 1, A = 74 - K;
+  int base = A / N, extra = A % N;
+  for (int n = 0; n < N; ++n) {
+    q[n] = base + (n < extra ? 1 : 0);
+    if (q[n] > 8) q[n] = 8;
+  }
+  return N;
+}
+
+/* Uniform mid-rise quantizers: PRBA coefficients span +-4 (log2
+ * units), higher-order coefficients +-3. */
+static double coef_step(int n, int qn) {
+  double range = (n < 5) ? 8.0 : 6.0;
+  return range / (double)(1u << qn);
+}
+
+static double dequant_coef(int idx, int n, int qn) {
+  if (qn <= 0) return 0.0;
+  return ((double)idx + 0.5 - (double)(1u << (qn - 1))) * coef_step(n, qn);
+}
+
+static int quant_coef(double v, int n, int qn) {
+  if (qn <= 0) return 0;
+  int idx = (int)lrint(v / coef_step(n, qn) - 0.5
+                       + (double)(1u << (qn - 1)));
+  int maxv = (1 << qn) - 1;
+  if (idx < 0) idx = 0;
+  if (idx > maxv) idx = maxv;
+  return idx;
+}
+
+/* DCT-II pair with DC = block mean (exact inverses of each other). */
+static void dct_fwd(const double* x, int n, double* c) {
+  for (int j = 0; j < n; ++j) {
+    double s = 0.0;
+    for (int m = 0; m < n; ++m)
+      s += x[m] * cos(M_PI * j * (m + 0.5) / n);
+    c[j] = (j == 0 ? s / n : 2.0 * s / n);
+  }
+}
+
+static void dct_inv(const double* c, int n, double* x) {
+  for (int m = 0; m < n; ++m) {
+    double s = c[0];
+    for (int j = 1; j < n; ++j)
+      s += c[j] * cos(M_PI * j * (m + 0.5) / n);
+    x[m] = s;
+  }
+}
+
+/* ---- 88-bit priority scan (see file header for the layout) ---- */
+
+void imbe_scan_params(const imbe_params_t* p, uint8_t d[88]) {
+  memset(d, 0, 88);
+  int L = imbe_harmonics_for_b0(p->b0);
+  int K = imbe_bands_for_L(L);
+  int q[55];
+  int N = coef_alloc(L, K, q);
+  for (int i = 0; i < 6; ++i) d[i] = (uint8_t)((p->b0 >> (7 - i)) & 1);
+  for (int i = 0; i < 4; ++i) d[6 + i] = (uint8_t)((p->gain >> (5 - i)) & 1);
+  for (int k = 0; k < K; ++k)
+    d[10 + k] = (uint8_t)((p->voicing >> (11 - k)) & 1u);
+  int pos = 10 + K;
+  for (int plane = 0; plane < 8 && pos < 84; ++plane)
+    for (int n = 0; n < N && pos < 84; ++n)
+      if (q[n] > plane)
+        d[pos++] = (uint8_t)((p->amps[n] >> (q[n] - 1 - plane)) & 1u);
+  d[84] = (uint8_t)((p->gain >> 1) & 1);
+  d[85] = (uint8_t)(p->gain & 1);
+  d[86] = (uint8_t)((p->b0 >> 1) & 1);
+  d[87] = (uint8_t)(p->b0 & 1);
+}
+
+static void unscan_params(const uint8_t d[88], imbe_params_t* p) {
+  memset(p, 0, sizeof(*p));
+  int b0 = 0;
+  for (int i = 0; i < 6; ++i) b0 |= (int)d[i] << (7 - i);
+  b0 |= (int)d[86] << 1;
+  b0 |= (int)d[87];
+  p->b0 = b0;
+  int gain = 0;
+  for (int i = 0; i < 4; ++i) gain |= (int)d[6 + i] << (5 - i);
+  gain |= (int)d[84] << 1;
+  gain |= (int)d[85];
+  p->gain = gain;
+  int L = imbe_harmonics_for_b0(b0);
+  int K = imbe_bands_for_L(L);
+  int q[55];
+  int N = coef_alloc(L, K, q);
+  for (int k = 0; k < K; ++k)
+    p->voicing |= (uint32_t)d[10 + k] << (11 - k);
+  int pos = 10 + K;
+  for (int plane = 0; plane < 8 && pos < 84; ++plane)
+    for (int n = 0; n < N && pos < 84; ++n)
+      if (q[n] > plane)
+        p->amps[n] = (uint8_t)(p->amps[n]
+                               | (d[pos++] << (q[n] - 1 - plane)));
+}
+
+/* ---- 88 info bits <-> 144 channel bits ---- */
 static void put_bits(uint8_t* buf, int* pos, uint32_t v, int n) {
   for (int i = n - 1; i >= 0; --i) buf[(*pos)++] = (uint8_t)((v >> i) & 1u);
 }
@@ -173,45 +302,9 @@ static uint32_t get_bits(const uint8_t* buf, int* pos, int n) {
   return v;
 }
 
-static void params_to_info(const imbe_params_t* p, uint8_t info[88]) {
-  int pos = 0;
-  put_bits(info, &pos, (uint32_t)p->b0 & 0xFFu, 8);
-  put_bits(info, &pos, p->voicing & 0xFFFu, 12);
-  put_bits(info, &pos, (uint32_t)p->gain & 0x3Fu, 6);
-  int L = imbe_harmonics_for_b0(p->b0);
-  int q[56];
-  amp_bit_alloc(L, q);
-  int used = 26;
-  for (int l = 0; l < L; ++l) {
-    uint32_t a = p->amps[l];
-    uint32_t maxv = (1u << q[l]) - 1u;
-    if (a > maxv) a = maxv;
-    put_bits(info, &pos, a, q[l]);
-    used += q[l];
-  }
-  while (used < 88) { info[pos++] = 0; ++used; }
-}
-
-static void info_to_params(const uint8_t info[88], imbe_params_t* p) {
-  int pos = 0;
-  p->b0 = (int)get_bits(info, &pos, 8);
-  p->voicing = get_bits(info, &pos, 12);
-  p->gain = (int)get_bits(info, &pos, 6);
-  int L = imbe_harmonics_for_b0(p->b0);
-  int q[56];
-  amp_bit_alloc(L, q);
-  memset(p->amps, 0, sizeof(p->amps));
-  int used = 26;
-  for (int l = 0; l < L && used + q[l] <= 88; ++l) {
-    p->amps[l] = (uint8_t)get_bits(info, &pos, q[l]);
-    used += q[l];
-  }
-}
-
-/* ---- 88 info bits <-> 144 channel bits ---- */
 void imbe_pack_frame(const imbe_params_t* p, uint8_t bits[144]) {
   uint8_t info[88];
-  params_to_info(p, info);
+  imbe_scan_params(p, info);
   uint32_t u[8];
   int pos = 0;
   for (int i = 0; i < 4; ++i) u[i] = get_bits(info, &pos, 12);
@@ -275,19 +368,127 @@ int imbe_unpack_frame(const uint8_t bits[144], imbe_params_t* p) {
   for (int i = 0; i < 4; ++i) put_bits(info, &pos, u[i], 12);
   for (int i = 4; i < 7; ++i) put_bits(info, &pos, u[i], 11);
   put_bits(info, &pos, u[7], 7);
-  info_to_params(info, p);
+  unscan_params(info, p);
   return errs;
 }
 
 /* ------------------------------------------------------------------ */
-/* Amplitude (de)quantization.                                         */
+/* Amplitude reconstruction (shared by decoder and the encoder's
+ * closed prediction loop).                                            */
 
-static double gain_value(int g) { return pow(2.0, (g - 40) / 4.0); }
+#define IMBE_RHO 0.7
 
-static double amp_value(uint8_t a, int qbits, double gain) {
-  double maxv = (double)((1u << qbits) - 1u);
-  double r = maxv > 0 ? ((double)a / maxv) * 6.0 - 3.0 : 0.0;
-  return gain * pow(2.0, r);
+typedef struct {
+  double shape[58]; /* previous frame's mean-removed log2 amps, 1-based */
+  int L;
+} imbe_pred_t;
+
+static void pred_init(imbe_pred_t* pr) {
+  memset(pr, 0, sizeof(*pr));
+  pr->L = 30; /* arbitrary: zero shape interpolates to zero anyway */
+}
+
+static double pred_interp(const imbe_pred_t* pr, int l, int L) {
+  double k = (double)l * (double)pr->L / (double)L;
+  int il = (int)floor(k);
+  double dl = k - (double)il;
+  int i0 = il < 1 ? 1 : (il > pr->L ? pr->L : il);
+  int i1 = il + 1 < 1 ? 1 : (il + 1 > pr->L ? pr->L : il + 1);
+  return (1.0 - dl) * pr->shape[i0] + dl * pr->shape[i1];
+}
+
+/* indices in p->amps -> harmonic amplitudes amp[1..L]; advances the
+ * prediction state. */
+static void reconstruct_amps(const imbe_params_t* p, imbe_pred_t* pr,
+                             double amp[58], int* Lout, int* Kout) {
+  int L = imbe_harmonics_for_b0(p->b0);
+  int K = imbe_bands_for_L(L);
+  int q[55];
+  int N = coef_alloc(L, K, q);
+  double vals[55];
+  for (int n = 0; n < N; ++n)
+    vals[n] = dequant_coef(p->amps[n], n, q[n]);
+
+  double G[6], R[6];
+  G[0] = 0.0; /* PRBA DC is absorbed by the gain */
+  for (int n = 0; n < 5; ++n) G[n + 1] = vals[n];
+  dct_inv(G, 6, R);
+
+  int J[6];
+  block_lengths(L, J);
+  double cblk[6][11];
+  for (int i = 0; i < 6; ++i) cblk[i][0] = R[i];
+  int n = 5;
+  for (int j = 1; j < 11; ++j)
+    for (int i = 0; i < 6; ++i)
+      if (j < J[i]) cblk[i][j] = vals[n++];
+
+  double gv = ((double)p->gain - 40.0) / 4.0; /* log2 frame level */
+  double newshape[58];
+  int l = 1;
+  for (int i = 0; i < 6; ++i) {
+    double x[11];
+    dct_inv(cblk[i], J[i], x);
+    for (int m = 0; m < J[i]; ++m, ++l) {
+      double lg = gv + IMBE_RHO * pred_interp(pr, l, L) + x[m];
+      if (lg > 14.0) lg = 14.0;
+      if (lg < -14.0) lg = -14.0;
+      amp[l] = pow(2.0, lg);
+      newshape[l] = lg - gv;
+    }
+  }
+  pr->L = L;
+  memcpy(pr->shape, newshape, sizeof(newshape));
+  *Lout = L;
+  *Kout = K;
+}
+
+/* log2 amps logamp[1..L] -> quantized coefficients in p (b0 must be
+ * set); advances the prediction state through the *reconstructed*
+ * values so encoder and decoder predictors stay in lockstep. */
+static void quantize_amps(const double logamp[58], int L,
+                          imbe_pred_t* pr, imbe_params_t* p) {
+  int K = imbe_bands_for_L(L);
+  int q[55];
+  coef_alloc(L, K, q);
+  double raw[58], mean = 0.0;
+  for (int l = 1; l <= L; ++l) {
+    raw[l] = logamp[l] - IMBE_RHO * pred_interp(pr, l, L);
+    mean += raw[l];
+  }
+  mean /= (double)L;
+  int b2 = (int)lrint(40.0 + 4.0 * mean);
+  if (b2 < 0) b2 = 0;
+  if (b2 > 63) b2 = 63;
+  p->gain = b2;
+  double gv = ((double)b2 - 40.0) / 4.0;
+
+  int J[6];
+  block_lengths(L, J);
+  double cblk[6][11];
+  int l = 1;
+  for (int i = 0; i < 6; ++i) {
+    double x[11];
+    for (int m = 0; m < J[i]; ++m, ++l) x[m] = raw[l] - gv;
+    dct_fwd(x, J[i], cblk[i]);
+  }
+  double R[6], G[6];
+  for (int i = 0; i < 6; ++i) R[i] = cblk[i][0];
+  dct_fwd(R, 6, G);
+
+  for (int n = 0; n < 5; ++n)
+    p->amps[n] = (uint8_t)quant_coef(G[n + 1], n, q[n]);
+  int n = 5;
+  for (int j = 1; j < 11; ++j)
+    for (int i = 0; i < 6; ++i)
+      if (j < J[i]) {
+        p->amps[n] = (uint8_t)quant_coef(cblk[i][j], n, q[n]);
+        ++n;
+      }
+
+  double amp[58];
+  int Lr, Kr;
+  reconstruct_amps(p, pr, amp, &Lr, &Kr); /* advance predictor */
 }
 
 /* ------------------------------------------------------------------ */
@@ -296,6 +497,7 @@ static double amp_value(uint8_t a, int qbits, double gain) {
 #define FRAME 160
 
 struct imbe_decoder {
+  imbe_pred_t pred;
   double phase[56];
   double prev_amp[56];
   uint32_t prev_voicing;
@@ -316,6 +518,7 @@ static double frand(uint32_t* s) { /* xorshift in [-1,1] */
 imbe_decoder_t* imbe_decoder_create(void) {
   imbe_decoder_t* d = (imbe_decoder_t*)calloc(1, sizeof(*d));
   d->rng = 0x5f5ff77fu;
+  pred_init(&d->pred);
   return d;
 }
 void imbe_decoder_destroy(imbe_decoder_t* d) { free(d); }
@@ -333,12 +536,12 @@ int imbe_decode(imbe_decoder_t* d, const uint8_t bits[144],
   d->errors += errs;
 
   double w0 = 4.0 * M_PI / (double)(p.b0 + 39.5);
-  int L = imbe_harmonics_for_b0(p.b0);
-  int q[56];
-  amp_bit_alloc(L, q);
-  double gain = gain_value(p.gain);
+  double amp1[58];
+  int L, K;
+  reconstruct_amps(&p, &d->pred, amp1, &L, &K);
   double amp[56];
-  for (int l = 0; l < L; ++l) amp[l] = amp_value(p.amps[l], q[l], gain);
+  for (int l = 0; l < L; ++l) amp[l] = amp1[l + 1];
+  for (int l = L; l < 56; ++l) amp[l] = 0.0;
 
   double pw0 = d->have_prev ? d->prev_w0 : w0;
   int pL = d->have_prev ? d->prev_L : L;
@@ -349,9 +552,9 @@ int imbe_decode(imbe_decoder_t* d, const uint8_t bits[144],
     double a0 = (l < pL) ? d->prev_amp[l] : 0.0;
     double a1 = (l < L) ? amp[l] : 0.0;
     int band = l / 3;
-    if (band > 11) band = 11;
-    int voiced = (l < L) ? ((p.voicing >> (11 - band)) & 1u)
-                         : ((d->prev_voicing >> (11 - band)) & 1u);
+    if (band > K - 1) band = K - 1;
+    int voiced = (l < L) ? (int)((p.voicing >> (11 - band)) & 1u)
+                         : (int)((d->prev_voicing >> (11 - band)) & 1u);
     double ph = d->phase[l];
     for (int n = 0; n < FRAME; ++n) {
       double t = (double)n / FRAME;
@@ -373,7 +576,6 @@ int imbe_decode(imbe_decoder_t* d, const uint8_t bits[144],
     pcm[n] = (int16_t)lrint(v);
   }
   memcpy(d->prev_amp, amp, sizeof(amp));
-  if (L < 56) memset(d->prev_amp + L, 0, (56 - L) * sizeof(double));
   d->prev_voicing = p.voicing;
   d->prev_w0 = w0;
   d->prev_L = L;
@@ -385,12 +587,15 @@ int imbe_decode(imbe_decoder_t* d, const uint8_t bits[144],
 /* Encoder / analysis.                                                 */
 
 struct imbe_encoder {
+  imbe_pred_t pred;
   double hist[FRAME * 2]; /* previous + current frame window */
   int have_hist;
 };
 
 imbe_encoder_t* imbe_encoder_create(void) {
-  return (imbe_encoder_t*)calloc(1, sizeof(imbe_encoder_t));
+  imbe_encoder_t* e = (imbe_encoder_t*)calloc(1, sizeof(imbe_encoder_t));
+  pred_init(&e->pred);
+  return e;
 }
 void imbe_encoder_destroy(imbe_encoder_t* e) { free(e); }
 
@@ -430,11 +635,11 @@ void imbe_encode(imbe_encoder_t* e, const int16_t pcm[160],
   int L = imbe_harmonics_for_b0(b0);
 
   /* harmonic amplitudes via windowed DFT at l*w0 */
-  double amp[56];
-  double total = 1e-12;
-  for (int l = 0; l < L; ++l) {
+  double amp[58], logamp[58];
+  double total = 1e-12, peak = 1e-6;
+  for (int l = 1; l <= L; ++l) {
     double wr = 0.0, wi = 0.0, wsum = 0.0;
-    double wl = w0 * (l + 1);
+    double wl = w0 * l;
     if (wl >= M_PI) { amp[l] = 0.0; continue; }
     for (int n = 0; n < N; ++n) {
       double win = 0.5 - 0.5 * cos(2.0 * M_PI * n / (N - 1));
@@ -444,23 +649,25 @@ void imbe_encode(imbe_encoder_t* e, const int16_t pcm[160],
     }
     amp[l] = 2.0 * sqrt(wr * wr + wi * wi) / wsum;
     total += amp[l] * amp[l];
+    if (amp[l] > peak) peak = amp[l];
   }
+  /* Floor the log envelope 36 dB below the frame peak: keeps the
+   * within-frame dynamics inside the quantizers' reach (the residual
+   * coders span roughly +-4 log2 around the gain). */
+  double fl = peak * 0.015625; /* 2^-6 */
+  for (int l = 1; l <= L; ++l)
+    logamp[l] = log2(amp[l] > fl ? amp[l] : fl);
   double rms = sqrt(total / (L > 0 ? L : 1));
-  int gidx = (int)lrint(40.0 + 4.0 * log2(rms > 1e-9 ? rms : 1e-9));
-  if (gidx < 0) gidx = 0;
-  if (gidx > 63) gidx = 63;
-  double gain = gain_value(gidx);
 
   /* voicing: global harmonicity (autocorr peak) gates all bands;
    * per-band refinement uses harmonic-vs-floor energy */
   uint32_t voicing = 0;
-  int K = (L + 2) / 3;
-  if (K > 12) K = 12;
+  int K = imbe_bands_for_L(L);
   for (int k = 0; k < K; ++k) {
     double band_amp = 0.0;
     for (int j = 0; j < 3; ++j) {
-      int l = 3 * k + j;
-      if (l < L) band_amp += amp[l];
+      int l = 3 * k + j + 1;
+      if (l <= L) band_amp += amp[l];
     }
     int v = (best > 0.35) && (band_amp > 0.05 * rms);
     if (v) voicing |= 1u << (11 - k);
@@ -470,15 +677,6 @@ void imbe_encode(imbe_encoder_t* e, const int16_t pcm[160],
   memset(&p, 0, sizeof(p));
   p.b0 = b0;
   p.voicing = voicing;
-  p.gain = gidx;
-  int q[56];
-  amp_bit_alloc(L, q);
-  for (int l = 0; l < L; ++l) {
-    double r = log2((amp[l] > 1e-9 ? amp[l] : 1e-9) / gain);
-    if (r < -3.0) r = -3.0;
-    if (r > 3.0) r = 3.0;
-    double maxv = (double)((1u << q[l]) - 1u);
-    p.amps[l] = (uint8_t)lrint((r + 3.0) / 6.0 * maxv);
-  }
+  quantize_amps(logamp, L, &e->pred, &p);
   imbe_pack_frame(&p, bits);
 }

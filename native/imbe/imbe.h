@@ -9,16 +9,29 @@
  * each protected by Golay(23,12), u4..u6 11 bits each protected by
  * Hamming(15,11), u7 7 bits unprotected — with the u1..u6 codewords
  * XOR-scrambled by the 16-bit PN generator seeded from u0
- * (pr' = 173*pr + 13849 mod 2^16). Parameter bit packing inside the 88
- * information bits and the resulting synthesis are a documented
- * framework-internal profile (see imbe.cc header comment): fundamental/
- * voicing/gain fields follow the IMBE model (w0 = 4*pi/(b0 + 39.5),
- * L = floor(0.9254*floor(pi/w0 + 0.25)) harmonics, ceil(L/3) voicing
- * bands), spectral amplitudes use a flat log quantizer instead of the
- * TIA bit-priority/DCT tables, so audio from off-air TIA-encoded frames
- * is not yet spec-exact. Closed-loop (this encoder <-> this decoder)
- * the codec is bit-exact and FEC-corrects up to 3 errors per Golay word
- * and 1 per Hamming word.
+ * (pr' = 173*pr + 13849 mod 2^16).
+ *
+ * Parameter layer status (see imbe.cc header for the full layout):
+ * EXACT per the published model — w0 = 4*pi/(b0 + 39.5) with 8-bit b0;
+ * L = floor(0.9254*floor(pi/w0 + 0.25)) harmonics clamped to [9, 56];
+ * K = min(12, (L+2)/3) voicing bands of 3 harmonics; 6-bit gain;
+ * 74-K amplitude bits; hierarchical quantization of log2-amplitude
+ * prediction residuals (rho = 0.7 closed-loop prediction, 6 near-equal
+ * blocks DCT'd, block DC terms re-DCT'd into the PRBA vector whose DC
+ * folds into the gain); split MSB/LSB priority placement of b0 and the
+ * gain (b0 MSBs open the frame in Golay-protected u0, its 2 LSBs and
+ * the gain's 2 LSBs close it in unprotected u7). RECONSTRUCTED pending
+ * validation against TIA-102.BAAA Annex test vectors (not available in
+ * this environment): the per-L bit-allocation table values (here:
+ * near-equal split, high-priority remainder), quantizer step sizes
+ * (here: uniform, +-3 PRBA / +-1.5 higher-order in log2 units), the
+ * gain VQ (here: 1/4-log2 uniform steps), and the exact interleave of
+ * amplitude bits inside the middle priority region (here: bit-plane
+ * order, MSBs first). Off-air frames therefore decode to correct
+ * pitch/voicing-count/gain-scale structure with approximate spectral
+ * detail; closed-loop (this encoder <-> this decoder) the codec is
+ * bit-exact and FEC-corrects up to 3 errors per Golay word and 1 per
+ * Hamming word.
  */
 #ifndef RC_TPU_IMBE_H
 #define RC_TPU_IMBE_H
@@ -35,9 +48,12 @@ typedef struct imbe_encoder imbe_encoder_t;
 /* Model parameters of one 20 ms frame. */
 typedef struct {
   int b0;           /* fundamental index, 0..207 */
-  uint32_t voicing; /* 12 band bits, MSB = band 0 (voiced=1) */
-  int gain;         /* 6-bit log gain index */
-  uint8_t amps[56]; /* per-harmonic quantized log-amps (L used) */
+  uint32_t voicing; /* band bits at positions 11..12-K, bit 11 = band 0
+                     * (voiced=1); only the frame's K bands transmit */
+  int gain;         /* 6-bit log2 gain index, level = 2^((gain-40)/4) */
+  uint8_t amps[56]; /* quantized amplitude DCT coefficients in priority
+                     * order: [0..4] = PRBA G1..G5, then higher-order
+                     * block coefficients (L-1 used) */
 } imbe_params_t;
 
 /* ---- frame codec ---- */
@@ -70,6 +86,9 @@ void imbe_encode(imbe_encoder_t* e, const int16_t pcm[160],
 void imbe_encode_params(const imbe_params_t* p, uint8_t bits[144]);
 
 int imbe_harmonics_for_b0(int b0); /* L */
+int imbe_bands_for_L(int L);       /* K = min(12, (L+2)/3) */
+/* 88-bit priority stream (u0..u7 info bits) for tests/diagnostics. */
+void imbe_scan_params(const imbe_params_t* p, uint8_t info[88]);
 
 #ifdef __cplusplus
 }

@@ -77,6 +77,10 @@ def _load():
                                             ctypes.POINTER(ctypes.c_uint32)]
         lib.imbe_harmonics_for_b0.restype = ctypes.c_int
         lib.imbe_harmonics_for_b0.argtypes = [ctypes.c_int]
+        lib.imbe_bands_for_L.restype = ctypes.c_int
+        lib.imbe_bands_for_L.argtypes = [ctypes.c_int]
+        lib.imbe_scan_params.argtypes = [ctypes.POINTER(_Params),
+                                         ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -174,6 +178,25 @@ def golay23_decode(cw: int) -> tuple[int, int]:
 
 def harmonics_for_b0(b0: int) -> int:
     return int(_load().imbe_harmonics_for_b0(b0))
+
+
+def bands_for_l(l: int) -> int:
+    """K = min(12, (L+2)//3) voicing bands."""
+    return int(_load().imbe_bands_for_L(l))
+
+
+def scan_params(b0: int, voicing: int, gain: int, amps=None) -> np.ndarray:
+    """The 88-bit priority stream (u0..u7 info bits) for a parameter
+    set — exposes the bit layout for tests."""
+    lib = _load()
+    p = _Params()
+    p.b0, p.voicing, p.gain = b0, voicing, gain
+    for i, a in enumerate(amps or []):
+        p.amps[i] = a
+    info = np.zeros(88, np.uint8)
+    lib.imbe_scan_params(ctypes.byref(p),
+                         info.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return info
 
 
 def install_default() -> ImbeVocoder:

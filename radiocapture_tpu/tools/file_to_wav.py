@@ -69,7 +69,16 @@ def decode_p25(iq: np.ndarray, samp_rate: float, offset_hz: float = 0.0,
     blk = pipe.decim * 1024
     x = np.stack([iq.real, iq.imag], -1).astype(np.float32)
     framer = Framer()
-    vocoder = vocoder or get_default_vocoder()
+    if vocoder is None:
+        vocoder = get_default_vocoder()
+    if vocoder is None:
+        # The reference always voice-decodes this path (file_to_wav.py:92,
+        # op25 repeater.vocoder); build/load the in-repo native vocoder.
+        try:
+            from radiocapture_tpu.audio.imbe import ImbeVocoder
+            vocoder = ImbeVocoder()
+        except Exception:
+            vocoder = None      # g++ missing: frame stats only
     pcm: list[np.ndarray] = []
     stats = {"frames": 0, "ldu": 0, "imbe": 0, "errors": 0}
     for i in range(len(iq) // blk):

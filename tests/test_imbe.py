@@ -49,18 +49,53 @@ def test_frame_corrects_channel_errors():
             corrupted[lo + p] ^= 1
     p, errs = I.unpack_frame(corrupted)
     assert errs == 11
-    assert p["b0"] == 64 and p["voicing"] == 0xFFF and p["gain"] == 40
+    # only the frame's K voicing bands transmit (b0=64 -> L=24 -> K=8)
+    k = I.bands_for_l(I.harmonics_for_b0(64))
+    mask = ((1 << k) - 1) << (12 - k)
+    assert p["b0"] == 64 and p["voicing"] == (0xFFF & mask)
+    assert p["gain"] == 40
 
 
 def test_pn_scrambling_depends_on_u0():
-    """u1..u6 are scrambled by the PN seeded from u0: frames differing
-    only in b0 must differ across the scrambled span far more than the
-    payload difference alone."""
+    """u1..u6 are scrambled by the PN seeded from u0: frames whose b0
+    MSBs differ (b0's 6 MSBs open u0; its 2 LSBs ride in u7) must
+    differ across the scrambled span far more than the payload
+    difference alone."""
     enc = I.ImbeEncoder()
     a = enc.encode_params(b0=10, voicing=0x800, gain=20, amps=[1] * 56)
-    b = enc.encode_params(b0=11, voicing=0x800, gain=20, amps=[1] * 56)
+    b = enc.encode_params(b0=42, voicing=0x800, gain=20, amps=[1] * 56)
     diff_scrambled = int(np.sum(a[23:137] != b[23:137]))
     assert diff_scrambled > 30    # avalanche from the PN reseed
+
+
+def test_b0_lsbs_in_u7():
+    """The split priority placement: b0 values differing only in their
+    2 LSBs produce identical u0 (same PN seed, same scrambled span) and
+    differ only inside unprotected u7 (bits 137..144)."""
+    enc = I.ImbeEncoder()
+    a = enc.encode_params(b0=8, voicing=0x800, gain=20, amps=[0] * 56)
+    b = enc.encode_params(b0=11, voicing=0x800, gain=20, amps=[0] * 56)
+    assert np.array_equal(a[:23], b[:23])          # u0 identical
+    assert np.array_equal(a[23:137], b[23:137])    # same PN, same payload
+    assert np.any(a[137:] != b[137:])              # LSBs live in u7
+
+
+def test_priority_scan_layout():
+    """Bit positions of the 88-bit priority stream (imbe.cc header):
+    b0 MSBs open the frame, gain MSBs follow, voicing next; the b2/b0
+    LSBs close it."""
+    k = I.bands_for_l(I.harmonics_for_b0(0xAA))
+    d = I.scan_params(b0=0xAA, voicing=0, gain=0x15, amps=[0] * 56)
+    assert list(d[0:6]) == [1, 0, 1, 0, 1, 0]      # b0 bits 7..2
+    assert list(d[6:10]) == [0, 1, 0, 1]           # b2 bits 5..2
+    assert list(d[84:88]) == [0, 1, 1, 0]          # b2 1..0, b0 1..0
+    v = I.scan_params(b0=0xAA, voicing=0x800, gain=0, amps=[0] * 56)
+    assert v[10] == 1 and np.sum(v) == np.sum(
+        I.scan_params(b0=0xAA, voicing=0, gain=0, amps=[0] * 56)) + 1
+    # voicing band K-1 lands at d[10+K-1]
+    w = I.scan_params(b0=0xAA, voicing=1 << (12 - k), gain=0,
+                      amps=[0] * 56)
+    assert w[10 + k - 1] == 1
 
 
 def test_vocoder_synthesizes_pitch():
@@ -93,6 +128,43 @@ def test_unvoiced_frames_are_noise_like():
     # flat-ish spectrum: no single bin dominates like a pure tone would
     spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
     assert spec.max() / spec.sum() < 0.2
+
+
+def test_model_geometry_all_b0():
+    """Published-model invariants for every fundamental index: L =
+    floor(0.9254*floor((b0+39.5)/4 + 0.25)) in [9, 56], K = min(12,
+    (L+2)//3), and the bit budget 8 + K + 6 + (74-K) == 88."""
+    for b0 in range(208):
+        l = I.harmonics_for_b0(b0)
+        w0 = 4 * np.pi / (b0 + 39.5)
+        want = int(0.9254 * int(np.pi / w0 + 0.25))
+        assert l == min(56, max(9, want))
+        k = I.bands_for_l(l)
+        assert k == min(12, (l + 2) // 3)
+        assert 8 + k + 6 + (74 - k) == 88
+
+
+def test_params_roundtrip_all_pitches():
+    """b0/voicing/gain and in-range coefficient indices survive the
+    pack -> 144 bits -> unpack trip exactly, for every L geometry."""
+    rng = np.random.default_rng(7)
+    enc = I.ImbeEncoder()
+    for b0 in range(0, 208, 13):
+        l = I.harmonics_for_b0(b0)
+        k = I.bands_for_l(l)
+        n = l - 1                        # coefficient count
+        a = 74 - k                       # amplitude bit budget
+        base, extra = divmod(a, n)
+        q = [min(8, base + (i < extra)) for i in range(n)]
+        amps = [int(rng.integers(0, 1 << qi)) for qi in q]
+        voicing = int(rng.integers(0, 1 << k)) << (12 - k)
+        gain = int(rng.integers(0, 64))
+        bits = enc.encode_params(b0=b0, voicing=voicing, gain=gain,
+                                 amps=amps)
+        p, errs = I.unpack_frame(bits)
+        assert errs == 0
+        assert (p["b0"], p["voicing"], p["gain"]) == (b0, voicing, gain)
+        assert p["amps"][:n] == amps
 
 
 def test_recorder_uses_native_vocoder(tmp_path):
