@@ -37,8 +37,10 @@ def test_analog_file_to_wav(tmp_path):
 
 
 def test_p25_file_decode_counts_voice_frames():
-    """A synthesized LDU1 stream yields the right IMBE frame count even
-    with no vocoder installed (audio empty, stats populated)."""
+    """A synthesized LDU1 stream yields the right IMBE frame count and
+    voice PCM — the p25 path loads the in-repo native vocoder by
+    default, matching the reference's always-voice-decoding
+    file_to_wav.py:92 (op25 repeater.vocoder)."""
     lc = P.make_link_control(0x0, tgid=123, source_id=456)
     vcs = (np.arange(9 * 144).reshape(9, 144) % 2).astype(np.uint8)
     frames = [P.build_ldu1_frame(0x293, lc, vcs) for _ in range(4)]
@@ -49,4 +51,10 @@ def test_p25_file_decode_counts_voice_frames():
     audio, stats = decode_p25(wide, SAMP_RATE, offset_hz=100e3)
     assert stats["ldu"] >= 2
     assert stats["imbe"] == stats["ldu"] * 9
-    assert len(audio) == 0
+    assert len(audio) == stats["imbe"] * 160    # 20 ms per codeword
+    # explicit opt-out (no vocoder) keeps the stats-only contract
+    class _NoVoc:
+        available = False
+    audio2, stats2 = decode_p25(wide, SAMP_RATE, offset_hz=100e3,
+                                vocoder=_NoVoc())
+    assert stats2["imbe"] == stats["imbe"] and len(audio2) == 0
