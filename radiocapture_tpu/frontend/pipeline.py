@@ -41,6 +41,18 @@ from radiocapture_tpu.ops import fm as _fm
 from radiocapture_tpu.utils import wire as _wire
 
 
+def _bank_step(bank, bank_state, x, offsets_norm):
+    """Dispatch one channelizer step, keeping wideband-rate data in the
+    float32 wire layout when the bank supports it (XlatBank.call_wire:
+    the fused Pallas path; complex materialization of the wideband
+    block costs more than the bank matmul on the tunneled backend)."""
+    if not jnp.iscomplexobj(x) and hasattr(bank, "call_wire"):
+        return bank.call_wire(bank_state, x, offsets_norm)
+    if not jnp.iscomplexobj(x):
+        x = jax.lax.complex(x[..., 0], x[..., 1])
+    return bank(bank_state, x, offsets_norm)
+
+
 def _make_bank(frontend: str, num_slots: int, samp_rate: float,
                channel_rate: float):
     """Channel-extraction stage per config ``frontend_mode``
@@ -165,9 +177,7 @@ class ControlPipeline:
     def _step_impl(self, wire_state: ControlPipelineState, x: jax.Array,
                    offsets_norm: jax.Array):
         state = _wire.decode(wire_state, self._state_spec)
-        if not jnp.iscomplexobj(x):
-            x = jax.lax.complex(x[..., 0], x[..., 1])
-        bs, chans = self.bank(state.bank, x, offsets_norm)
+        bs, chans = _bank_step(self.bank, state.bank, x, offsets_norm)
         qs, disc = _fm.quadrature_demod(state.quad, chans, self.disc_gain)
         sh, filt = _batched_fir(state.sym_hist, disc, self.sym_taps,
                                 stride=self.sym_decim)
@@ -289,9 +299,7 @@ class CqpskControlPipeline:
     def _step_impl(self, wire_state: CqpskPipelineState, x: jax.Array,
                    offsets_norm: jax.Array):
         state = _wire.decode(wire_state, self._state_spec)
-        if not jnp.iscomplexobj(x):
-            x = jax.lax.complex(x[..., 0], x[..., 1])
-        bs, chans = self.bank(state.bank, x, offsets_norm)
+        bs, chans = _bank_step(self.bank, state.bank, x, offsets_norm)
         chans = _cqpsk.block_agc(chans)
         cs, (syms, valid) = _cqpsk.cqpsk_demod(
             state.cqpsk, chans, self.channel_fs, self.symbol_rate)
@@ -366,9 +374,7 @@ class AnalogVoicePipeline:
     def _step_impl(self, wire_state: VoicePipelineState, x: jax.Array,
                    offsets_norm: jax.Array):
         state = _wire.decode(wire_state, self._state_spec)
-        if not jnp.iscomplexobj(x):
-            x = jax.lax.complex(x[..., 0], x[..., 1])
-        bs, chans = self.bank(state.bank, x, offsets_norm)
+        bs, chans = _bank_step(self.bank, state.bank, x, offsets_norm)
         gain = self.channel_fs / (2.0 * math.pi * self.max_dev)
         qs, disc = _fm.quadrature_demod(state.quad, chans, gain)
         ds, de = _fm.fm_deemphasis(state.deemph, disc, self.channel_fs)

@@ -131,6 +131,57 @@ class XlatBank:
         new_hist = z[z.shape[0] - (k - 1):]
         return XlatBankState(history=new_hist, phase=new_phase), y
 
+    def call_wire(self, state: XlatBankState, x2: jax.Array,
+                  offsets_norm: jax.Array
+                  ) -> tuple[XlatBankState, jax.Array]:
+        """Same contract as ``__call__`` but takes the raw ``[T, 2]``
+        float32 re/im wire layout.
+
+        On TPU this routes through the fully fused Pallas kernel
+        (ops.pallas_channelizer.bank_fused_pallas): the interleaved
+        input rows feed the MXU directly (the tap matrix absorbs the
+        complex arithmetic) and the mixer rotation happens in VMEM —
+        eliminating the wideband-rate complex materialization,
+        deinterleave, and per-sample rotation passes, which cost more
+        than the matmul itself at production shapes. Elsewhere it
+        falls back to the complex path bit-for-bit."""
+        from radiocapture_tpu.ops import pallas_channelizer as _pk
+        k, d, c, p = self.ntaps, self.decim, self.num_slots, self.p
+        n_out = x2.shape[0] // d
+        if not _pk.pallas_supported(n_out, p, d, c):
+            x = jax.lax.complex(x2[..., 0], x2[..., 1])
+            return self(state, x, offsets_norm)
+        # Modulated taps g[c,k] = h[k]·e^{j2πf_c k} with the phasor
+        # factorized e^{j2πf_c(qD+j)} = e^{j2πf_c qD}·e^{j2πf_c j}:
+        # C·(P+D) sin/cos pairs instead of C·K — the full-width
+        # transcendental build measured ~as much as the bank matmul
+        # itself once vmapped over sources.
+        two_pi = jnp.float32(2.0 * jnp.pi)
+        ac = two_pi * offsets_norm[:, None] * (
+            jnp.arange(p, dtype=jnp.float32) * d)[None, :]      # [C, P]
+        af = two_pi * offsets_norm[:, None] * jnp.arange(
+            d, dtype=jnp.float32)[None, :]                      # [C, D]
+        ph = (jnp.exp(1j * ac)[:, :, None]
+              * jnp.exp(1j * af)[:, None, :])                   # [C, P, D]
+        g = (self.taps.reshape(p, d)[None, :, :] * ph).reshape(c, k)
+        grev = g[:, ::-1].T                                     # [K, C]
+        g2 = _pk.fused_tap_matrix(
+            jnp.real(grev).astype(jnp.float32),
+            jnp.imag(grev).astype(jnp.float32), p, d)
+        step = _phase_step_u32(offsets_norm, d)
+        rot0, pows = _pk.fused_rotation_tables(state.phase, step, n_out)
+        hist2 = jnp.stack([jnp.real(state.history),
+                           jnp.imag(state.history)], axis=-1)
+        z2 = jnp.concatenate([hist2, x2], axis=0)     # [T + K - 1, 2]
+        rows = n_out + p - 1
+        zf2 = z2[: rows * d].reshape(rows, 2 * d)     # free view
+        y_re, y_im = _pk.bank_fused_pallas(zf2, g2, rot0, pows, p, d)
+        y = jax.lax.complex(y_re[:, :n_out], y_im[:, :n_out])
+        new_phase = state.phase + step * jnp.uint32(n_out)
+        nh = z2[z2.shape[0] - (k - 1):]
+        new_hist = jax.lax.complex(nh[:, 0], nh[:, 1])
+        return XlatBankState(history=new_hist, phase=new_phase), y
+
 
 class PfbState(NamedTuple):
     history: jax.Array  # [(P-1)*M] complex64

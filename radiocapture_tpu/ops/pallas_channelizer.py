@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -85,12 +86,26 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
     fallback path has the same numerics."""
     n = zf_re.shape[0] - (p - 1)
     c = g_re.shape[1]
-    k = p * d
     bn = block_n_for(n)
     if bn is None:
         raise ValueError(f"no usable N-tile for n={n}")
     ntiles = -(-n // bn)
     n_pad = ntiles * bn
+    # Pad each polyphase branch to the 128-lane register width: the
+    # scratch window build then moves only lane-aligned [BN, DP] rows.
+    # With the natural D (e.g. 96 at 2.4 MS/s -> 25 kS/s) every one of
+    # the P copies straddles lane boundaries and Mosaic lowers them as
+    # rotate+mask storms — measured 2.4x end-to-end kernel time for 25%
+    # fewer MXU flops. Zero tap rows in the pad keep the dot exact.
+    dp = -(-d // 128) * 128
+    if dp != d:
+        zf_re = jnp.pad(zf_re, ((0, 0), (0, dp - d)))
+        zf_im = jnp.pad(zf_im, ((0, 0), (0, dp - d)))
+        g_re = jnp.pad(g_re.reshape(p, d, c),
+                       ((0, 0), (0, dp - d), (0, 0))).reshape(p * dp, c)
+        g_im = jnp.pad(g_im.reshape(p, d, c),
+                       ((0, 0), (0, dp - d), (0, 0))).reshape(p * dp, c)
+    k = p * dp
     # Block-diagonal-of-planes tap matrix (see module docstring): one
     # [2K, 2C] operand so the complex product is a single real dot.
     g = jnp.concatenate([
@@ -100,7 +115,7 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
     zf_re = zf_re.astype(dtype)
     zf_im = zf_im.astype(dtype)
     g = g.astype(dtype)
-    kern = functools.partial(_bank_kernel, p, d, bn)
+    kern = functools.partial(_bank_kernel, p, dp, bn)
     # Tile t needs zf rows [t·BN, t·BN + BN + P - 1): its own (BN, D)
     # block plus the first P-1 rows of block t+1. Pad the framed input
     # to (ntiles+1)·BN rows so block t+1 exists for the last tile and
@@ -108,9 +123,9 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
     pad = (ntiles + 1) * bn - zf_re.shape[0]
     zp_re = jnp.pad(zf_re, ((0, pad), (0, 0)))
     zp_im = jnp.pad(zf_im, ((0, pad), (0, 0)))
-    z_a = pl.BlockSpec((bn, d), lambda t: (t, 0),
+    z_a = pl.BlockSpec((bn, dp), lambda t: (t, 0),
                        memory_space=pltpu.VMEM)
-    z_b = pl.BlockSpec((bn, d), lambda t: (t + 1, 0),
+    z_b = pl.BlockSpec((bn, dp), lambda t: (t + 1, 0),
                        memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((2 * k, 2 * c), lambda t: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -129,15 +144,140 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
     return y_re[:n], y_im[:n]
 
 
+def _fused_kernel(p: int, dp2: int, bn: int, c: int,
+                  za, zb, g, rot0, rowph, ore, oim, w):
+    """One N-tile of the fused bank: window build (interleaved re/im
+    rows — the tap matrix absorbs the complex arithmetic), one MXU dot,
+    in-kernel mixer rotation, transposed plane outputs.
+
+    The rotation phasor factors as e^{j·(phase0 + step·(t·BN + i))} =
+    rot0[t] · rowph[i]: the tile-independent row table comes from the
+    host (built from exact uint32 angles) and the kernel applies one
+    complex multiply — ~4·BN·C cheap VPU multiplies instead of BN·C
+    sin/cos pairs (transcendentals measured several times the cost of
+    the whole discriminator stage at these shapes)."""
+    z = jnp.concatenate([za[:], zb[: p - 1, :]], axis=0)
+    for q in range(p):
+        w[:, q * dp2:(q + 1) * dp2] = z[q:q + bn, :].astype(w.dtype)
+    acc = jnp.dot(w[:], g[:], preferred_element_type=jnp.float32)
+    b_re, b_im = rot0[0, 0:1, :c], rot0[0, 0:1, c:]          # [1, C]
+    rp_re, rp_im = rowph[:, :c], rowph[:, c:]                # [BN, C]
+    r_re = rp_re * b_re - rp_im * b_im
+    r_im = rp_re * b_im + rp_im * b_re
+    y_re = acc[:, :c] * r_re - acc[:, c:] * r_im
+    y_im = acc[:, :c] * r_im + acc[:, c:] * r_re
+    ore[:] = y_re.T
+    oim[:] = y_im.T
+
+
+@functools.partial(jax.jit, static_argnames=("p", "d", "interpret"))
+def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
+                      rowph: jax.Array, p: int, d: int,
+                      interpret: bool = False
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Fully fused xlat bank tile pass.
+
+    z2:   [N+P-1, 2D] float32 — framed wideband rows in the raw wire
+          interleave (sample j of row r at lanes (2j, 2j+1) = re, im).
+          No complex materialization, no deinterleave pass.
+    g2:   [P·DP2, 2C] bfloat16 — interleaved-row tap matrix: for branch
+          q, tap j: row q·DP2+2j = [g_re | g_im], row q·DP2+2j+1 =
+          [-g_im | g_re] (DP2 = 2D lane-padded to 128).
+    rot0: [ntiles, 8, 2C] float32 — per-tile base phasor cos|sin of the
+          exact uint32 mixer phase at the tile's first output row (row
+          replicated to the 8-sublane tile floor; only row 0 is read).
+    rowph: [BN, 2C] float32 — tile-independent row phasors
+          cos|sin(step·i) for i in [0, BN).
+    Returns (y_re, y_im) as [C, N_pad] float32 planes (transposed in
+    VMEM; slice to N outside).
+    """
+    rows = z2.shape[0]
+    n = rows - (p - 1)
+    c = g2.shape[1] // 2
+    d2 = 2 * d
+    dp2 = -(-d2 // 128) * 128
+    bn = block_n_for(n)
+    if bn is None:
+        raise ValueError(f"no usable N-tile for n={n}")
+    ntiles = -(-n // bn)
+    if dp2 != d2:
+        z2 = jnp.pad(z2, ((0, 0), (0, dp2 - d2)))
+    pad = (ntiles + 1) * bn - rows
+    z2 = jnp.pad(z2, ((0, pad), (0, 0)))
+    z_a = pl.BlockSpec((bn, dp2), lambda t: (t, 0),
+                       memory_space=pltpu.VMEM)
+    z_b = pl.BlockSpec((bn, dp2), lambda t: (t + 1, 0),
+                       memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((p * dp2, 2 * c), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((1, 8, 2 * c), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    pw_spec = pl.BlockSpec((rowph.shape[0], 2 * c), lambda t: (0, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((c, bn), lambda t: (0, t),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((c, ntiles * bn), jnp.float32)] * 2
+    kern = functools.partial(_fused_kernel, p, dp2, bn, c)
+    return pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        out_shape=out_shape,
+        in_specs=[z_a, z_b, g_spec, r_spec, pw_spec],
+        out_specs=[o_spec, o_spec],
+        scratch_shapes=[pltpu.VMEM((bn, p * dp2), jnp.bfloat16)],
+        interpret=interpret,
+    )(z2, z2, g2, rot0, rowph)
+
+
+def fused_rotation_tables(phase0: jax.Array, step: jax.Array,
+                          n: int) -> tuple[jax.Array, jax.Array]:
+    """Host/XLA-side helpers for :func:`bank_fused_pallas`: per-tile
+    base phasors and doubling phasors from the exact uint32 phase
+    accumulator (wraps stay exact in integer arithmetic; only the final
+    sin/cos and <= log2(BN) products are float)."""
+    from radiocapture_tpu.ops.fir import _u32_to_angle
+    bn = block_n_for(n)
+    ntiles = -(-n // bn)
+    t = jnp.arange(ntiles, dtype=jnp.uint32) * jnp.uint32(bn)
+    base = phase0[None, :] + step[None, :] * t[:, None]    # [T, C] u32
+    a0 = _u32_to_angle(base)
+    rot0 = jnp.concatenate([jnp.cos(a0), jnp.sin(a0)], axis=1)
+    # 8-sublane floor for the per-tile BlockSpec (row 0 is the payload)
+    rot0 = jnp.broadcast_to(rot0[:, None, :],
+                            (rot0.shape[0], 8, rot0.shape[1]))
+    i = jnp.arange(bn, dtype=jnp.uint32)
+    ai = _u32_to_angle(step[None, :] * i[:, None])          # [BN, C]
+    rowph = jnp.concatenate([jnp.cos(ai), jnp.sin(ai)], axis=1)
+    return rot0, rowph
+
+
+def fused_tap_matrix(g_re: jax.Array, g_im: jax.Array, p: int, d: int
+                     ) -> jax.Array:
+    """[P·D, C] tap planes (correlation-reversed) -> the interleaved-row
+    [P·DP2, 2C] bfloat16 operand of :func:`bank_fused_pallas`."""
+    k, c = g_re.shape
+    d2 = 2 * d
+    dp2 = -(-d2 // 128) * 128
+    row_re = jnp.concatenate([g_re, g_im], axis=1)          # [K, 2C]
+    row_im = jnp.concatenate([-g_im, g_re], axis=1)
+    inter = jnp.stack([row_re, row_im], axis=1)             # [K, 2, 2C]
+    inter = inter.reshape(p, d2, 2 * c)
+    if dp2 != d2:
+        inter = jnp.pad(inter, ((0, 0), (0, dp2 - d2), (0, 0)))
+    return inter.reshape(p * dp2, 2 * c).astype(jnp.bfloat16)
+
+
 def vmem_bytes(n: int, p: int, d: int, c: int,
                itemsize: int = 2) -> int:
     """Working-set estimate (bf16 default): w scratch [BN, 2K], taps
-    [2K, 2C], double-buffered z blocks, f32 acc + outputs."""
+    [2K, 2C], double-buffered z blocks, f32 acc + outputs. K counts the
+    lane-padded branch width (see bank_matmul_pallas)."""
     bn = block_n_for(n) or n
-    k = p * d
+    dp = -(-d // 128) * 128
+    k = p * dp
     return (bn * 2 * k * itemsize            # w scratch
             + 2 * k * 2 * c * itemsize       # g
-            + 4 * bn * d * itemsize * 2      # z blocks, double-buffered
+            + 4 * bn * dp * itemsize * 2     # z blocks, double-buffered
             + bn * 2 * c * 4                 # acc
             + 2 * bn * c * 4 * 2)            # outputs, double-buffered
 

@@ -126,6 +126,56 @@ def test_pallas_bank_matmul_parity(rng):
                                    atol=0.02 * scale)
 
 
+def test_pallas_fused_bank_parity(rng):
+    """Interpret-mode fused kernel (interleaved wire input, in-kernel
+    phasor-doubling rotation, transposed plane outputs) vs the complex
+    XLA path of XlatBank.__call__, from a mid-stream state with nonzero
+    phase and history."""
+    from radiocapture_tpu.ops import pallas_channelizer as pk
+    from radiocapture_tpu.ops.channelizer import XlatBank, XlatBankState
+    from radiocapture_tpu.ops.fir import _phase_step_u32
+
+    for n_out, p, d, c in [(300, 6, 16, 8), (40, 5, 8, 16)]:
+        k = p * d
+        bank = XlatBank(c, d, rng.standard_normal(k).astype(np.float32))
+        offs = ((rng.standard_normal(c)) * 0.1).astype(np.float32)
+        hist = (rng.standard_normal(k - 1)
+                + 1j * rng.standard_normal(k - 1)).astype(np.complex64)
+        phase0 = rng.integers(0, 2 ** 32, c, dtype=np.uint64).astype(
+            np.uint32)
+        x = (rng.standard_normal(n_out * d)
+             + 1j * rng.standard_normal(n_out * d)).astype(np.complex64)
+        st = XlatBankState(history=jnp.asarray(hist),
+                           phase=jnp.asarray(phase0))
+        st2, y_ref = bank(st, jnp.asarray(x), jnp.asarray(offs))
+
+        # fused path, assembled like XlatBank.call_wire
+        kk = jnp.arange(k, dtype=jnp.float32)
+        ang = (2.0 * jnp.pi) * jnp.asarray(offs)[:, None] * kk[None, :]
+        grev = (jnp.asarray(bank.taps)[None, :]
+                * jnp.exp(1j * ang))[:, ::-1].T
+        g2 = pk.fused_tap_matrix(jnp.real(grev).astype(jnp.float32),
+                                 jnp.imag(grev).astype(jnp.float32),
+                                 p, d).astype(jnp.float32)  # f32: exact
+        step = _phase_step_u32(jnp.asarray(offs), d)
+        rot0, pows = pk.fused_rotation_tables(jnp.asarray(phase0), step,
+                                              n_out)
+        x2 = np.stack([x.real, x.imag], -1).astype(np.float32)
+        h2 = np.stack([hist.real, hist.imag], -1).astype(np.float32)
+        z2 = jnp.asarray(np.concatenate([h2, x2], axis=0))
+        rows = n_out + p - 1
+        zf2 = z2[: rows * d].reshape(rows, 2 * d)
+        y_re, y_im = pk.bank_fused_pallas(zf2, g2.astype(jnp.bfloat16),
+                                          rot0, pows, p, d,
+                                          interpret=True)
+        got = np.asarray(y_re[:, :n_out]) + 1j * np.asarray(
+            y_im[:, :n_out])
+        ref = np.asarray(y_ref)
+        scale = np.abs(ref).max()
+        # bf16 products + phasor-doubling rotation: ~1e-2 relative
+        np.testing.assert_allclose(got, ref, atol=0.03 * scale)
+
+
 def test_pfb_block_split(rng):
     fs = 800_000.0
     m = 8
