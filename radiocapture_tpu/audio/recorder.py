@@ -105,13 +105,22 @@ class CallRecorder:
         self._tdma = None
         if self.modulation in TDMA_MODS:
             # Phase 2: slot-selective burst receiver with the scrambler
-            # seeded from the call's (NAC, SYSID, WACN)
-            # (logging_receiver.py:353-363).
+            # seeded from the call's (NAC, SYSID, WACN). CDR keys follow
+            # the reference's wire format (p25_call_manager.py:212-214:
+            # p25_nac/p25_system_id/p25_wacn; read at
+            # logging_receiver.py:116); bare names accepted as fallback.
             from radiocapture_tpu.demod.tdma import TdmaVoiceReceiver
+
+            def _k(*names):
+                for n in names:
+                    v = cdr.get(n)
+                    if v:
+                        return int(v)
+                return 0
             self._tdma = TdmaVoiceReceiver(
-                int(cdr.get("nac", 0) or 0),
-                int(cdr.get("sysid", 0) or 0),
-                int(cdr.get("wacn", 0) or 0), self._slot)
+                _k("p25_nac", "nac"),
+                _k("p25_system_id", "sysid"),
+                _k("p25_wacn", "wacn"), self._slot)
         elif self.modulation in P25_MODS:
             self._framer = Framer()
 

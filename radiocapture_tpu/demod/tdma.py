@@ -28,12 +28,16 @@ every open implementation):
   codeword carrying (channel number, ISCH location within the
   superframe, half-superframe flag, 4-bit superframe counter) — enough
   to recover absolute scrambler alignment from any single burst pair.
-  Field semantics follow the standard; the concrete (40,9) codeword
-  construction here (Golay(24,12) + 16-bit repetition check, whitened
-  with the 0x184229D461 mask so no I-ISCH aliases the sync) is a
-  reconstruction to be validated against off-air captures — the
-  standard's exact code tables are not reproduced in any source
-  available to this build.
+  Field semantics and the (40,9,16)-code framing follow the standard;
+  the concrete generator matrix (``_IISCH_GEN``) is CONJECTURAL — the
+  standard's code table is not reproduced in any source available to
+  this build, so this build uses a [40,9,14] linear code (shortened-
+  Golay juxtaposition, hill-climbed; weight enumerator starts
+  28·z^14 + 104·z^15) decoded by exhaustive nearest-codeword over all
+  512 words, correcting up to 5 bit errors.  Codewords are whitened
+  with the 0x184229D461 mask; every whitened codeword is ≥10 bits
+  (≥5 dibits) from the S-ISCH sync, so I-ISCH never aliases the sync
+  even at the 2-dibit sync-match tolerance.
 * **Burst schedule** (per superframe): bursts 0-7 are 4V voice bursts,
   8-9 are 2V voice bursts, 10-11 are SACCH signalling bursts.  Per
   channel that is 4x4V + 1x2V = 18 voice codewords per 360 ms — one
@@ -64,7 +68,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from radiocapture_tpu.fec import bits as B
-from radiocapture_tpu.fec import golay as G
 from radiocapture_tpu.fec import lfsr as L
 
 BURST_DIBITS = 180            # 360 bits, 30 ms
@@ -101,37 +104,57 @@ MAC_HANGTIME = 0x07
 
 
 # ------------------------------------------------------------------ ISCH
+# CONJECTURAL [40,9,14] I-ISCH generator (see module docstring): rows
+# are 40-bit ints, row i encodes info bit 8-i (MSB-first messages).
+# Derived from the [21,9,8] thrice-shortened extended Golay code
+# juxtaposed with a 2-column puncture of itself, then hill-climbed for
+# minimum distance (d=14, 28 minimum-weight words).
+_IISCH_GEN = (
+    0x803DA007B4, 0x401ED003DA, 0x206CCC0D99, 0x10366A06CD,
+    0x081B390367, 0x046E308DC6, 0x0254B84A97, 0x0149F0293E,
+    0x00C75818EB,
+)
+_ISCH_MASK_BITS = np.array(
+    [(ISCH_MASK >> (39 - i)) & 1 for i in range(40)], np.uint8)
+
+
+def _iisch_codebook() -> np.ndarray:
+    """All 512 unwhitened codewords as a [512, 40] uint8 bit matrix."""
+    gen = np.array([[(r >> (39 - j)) & 1 for j in range(40)]
+                    for r in _IISCH_GEN], np.uint8)          # [9, 40]
+    msgs = np.arange(512)
+    mb = ((msgs[:, None] >> (8 - np.arange(9))[None, :]) & 1
+          ).astype(np.uint8)                                  # [512, 9]
+    return (mb @ gen) % 2
+
+
+_IISCH_CODEBOOK = _iisch_codebook()
+
+#: nearest-codeword decode radius — d=14 corrects 6; stop at 5 so junk
+#: ISCH windows (expected distance ~20) essentially never false-decode.
+IISCH_MAX_ERRORS = 5
+
+
 def isch_encode(chn: int, loc: int, fr: int, cnt: int) -> np.ndarray:
     """I-ISCH: 9 info bits -> 40-bit codeword -> 20 dibits.
 
-    info = chn(2) | loc(2) | fr(1) | cnt(4).  Codeword = Golay(24,12)
-    of (info9 << 3) followed by a 16-bit repetition of the Golay word's
-    first 16 bits, XOR-whitened with ISCH_MASK.  See module docstring
-    for the reconstruction caveat."""
+    info = chn(2) | loc(2) | fr(1) | cnt(4), encoded by the [40,9,14]
+    ``_IISCH_GEN`` code and XOR-whitened with ISCH_MASK.  See module
+    docstring for the conjectural-generator caveat."""
     info9 = ((chn & 3) << 7) | ((loc & 3) << 5) | ((fr & 1) << 4) | (cnt & 0xF)
-    info12 = B.int_to_bits(info9 << 3, 12)
-    gol = G.encode_24_12(info12)
-    cw = np.concatenate([gol, gol[:16]])
-    mask = np.array([(ISCH_MASK >> (39 - i)) & 1 for i in range(40)],
-                    np.uint8)
-    return B.bits_to_dibits(cw ^ mask)
+    cw = _IISCH_CODEBOOK[info9]
+    return B.bits_to_dibits(cw ^ _ISCH_MASK_BITS)
 
 
-def isch_decode(dibits20: np.ndarray) -> tuple[int, int, int, int] | None:
-    """Inverse of isch_encode; Golay corrects <=3 bit errors, the
-    repetition tail must agree in >=14 of 16 positions."""
+def isch_decode(dibits20: np.ndarray
+                ) -> tuple[int, int, int, int] | None:
+    """Inverse of isch_encode: exhaustive nearest-codeword over the
+    512-word codebook, accepting up to IISCH_MAX_ERRORS bit errors."""
     bits = B.dibits_to_bits(np.asarray(dibits20, np.uint8))
-    mask = np.array([(ISCH_MASK >> (39 - i)) & 1 for i in range(40)],
-                    np.uint8)
-    cw = bits ^ mask
-    dec, _ = G.decode_24_12(cw[:24])
-    if dec is None:
-        return None
-    reenc = G.encode_24_12(dec)
-    if int((reenc[:16] != cw[24:40]).sum()) > 2:
-        return None
-    info9 = B.bits_to_int(dec) >> 3
-    if B.bits_to_int(dec) & 0x7:
+    cw = bits ^ _ISCH_MASK_BITS
+    dists = (_IISCH_CODEBOOK != cw[None, :]).sum(axis=1)
+    info9 = int(np.argmin(dists))
+    if int(dists[info9]) > IISCH_MAX_ERRORS:
         return None
     return ((info9 >> 7) & 3, (info9 >> 5) & 3,
             (info9 >> 4) & 1, info9 & 0xF)
@@ -230,16 +253,30 @@ def _parse_payload(bits320: np.ndarray, seq: int) -> Burst:
     return b
 
 
+#: S-ISCH match tolerance in dibit-symbol errors.  Real C4FM/H-DQPSK
+#: flips symbols at usable SNR, so sync matching is a correlation with
+#: a threshold (like the reference's C++ assembler), not an exact
+#: compare.  ≤2 keeps a ≥3-dibit margin to every whitened I-ISCH word.
+SYNC_TOLERANCE = 2
+
+
 class TdmaFramer:
     """Streaming S-ISCH sync search + I-ISCH alignment recovery +
     payload descramble + burst parse for one 6000 Bd dibit stream
-    (both TDMA channels)."""
+    (both TDMA channels).
+
+    Sync matching tolerates up to SYNC_TOLERANCE dibit errors, and
+    burst pairs that arrive before absolute alignment is known are held
+    (not dropped): when a later I-ISCH decodes, pending pairs are
+    descrambled retroactively at their now-known superframe positions
+    and emitted in order."""
 
     def __init__(self, nac: int, sysid: int, wacn: int):
         self.key = L.keystream_dibits(nac, sysid, wacn)   # [2160]
         self._buf = np.zeros(0, np.uint8)
         self._synced = False
         self._even_idx: int | None = None  # superframe index of buf[0]
+        self._pending: list[np.ndarray] = []  # unaligned raw pairs
         self.errors = 0
 
     def feed(self, dibits: np.ndarray) -> list[Burst]:
@@ -248,6 +285,7 @@ class TdmaFramer:
         out: list[Burst] = []
         while True:
             if not self._synced:
+                self._pending.clear()
                 idx = self._find_sync(self._buf)
                 if idx is None:
                     keep = max(0, len(self._buf) - N_ISCH + 1)
@@ -261,7 +299,7 @@ class TdmaFramer:
             if len(self._buf) < 2 * BURST_DIBITS:
                 return out
             pair = self._buf[:2 * BURST_DIBITS]
-            if not np.array_equal(pair[:N_ISCH], SYNC_DIBITS):
+            if int((pair[:N_ISCH] != SYNC_DIBITS).sum()) > SYNC_TOLERANCE:
                 self._synced = False
                 self.errors += 1
                 self._buf = self._buf[1:]
@@ -270,20 +308,34 @@ class TdmaFramer:
             if hdr is not None:
                 _chn, loc, fr, _cnt = hdr
                 self._even_idx = _burst_index_from_iisch(loc, fr) - 1
+                # retroactively place any pairs held while unaligned:
+                # pending[j] sits 2·(len-j) bursts before this pair.
+                for j, held in enumerate(self._pending):
+                    base = (self._even_idx
+                            - 2 * (len(self._pending) - j)
+                            ) % SUPERFRAME_BURSTS
+                    out.extend(self._emit_pair(held, base))
+                self._pending.clear()
             elif self._even_idx is not None:
                 self._even_idx = (self._even_idx + 2) % SUPERFRAME_BURSTS
             else:
-                # synced but not yet aligned: drop the pair, try next
-                self.errors += 1
+                # synced but not yet aligned: hold the pair for
+                # retroactive descramble once an I-ISCH decodes.
+                self._pending.append(pair.copy())
                 self._buf = self._buf[2 * BURST_DIBITS:]
                 continue
-            for k in (0, 1):
-                seq = (self._even_idx + k) % SUPERFRAME_BURSTS
-                payload = pair[k * BURST_DIBITS + N_ISCH:
-                               (k + 1) * BURST_DIBITS]
-                out.append(_parse_payload(self._descramble(payload, seq),
-                                          seq))
+            out.extend(self._emit_pair(pair, self._even_idx))
             self._buf = self._buf[2 * BURST_DIBITS:]
+
+    def _emit_pair(self, pair: np.ndarray, even_idx: int) -> list[Burst]:
+        bursts = []
+        for k in (0, 1):
+            seq = (even_idx + k) % SUPERFRAME_BURSTS
+            payload = pair[k * BURST_DIBITS + N_ISCH:
+                           (k + 1) * BURST_DIBITS]
+            bursts.append(_parse_payload(self._descramble(payload, seq),
+                                         seq))
+        return bursts
 
     def _descramble(self, payload_dibits: np.ndarray,
                     seq: int) -> np.ndarray:
@@ -298,7 +350,8 @@ class TdmaFramer:
         if len(buf) < N_ISCH:
             return None
         win = np.lib.stride_tricks.sliding_window_view(buf, N_ISCH)
-        hits = np.nonzero((win == SYNC_DIBITS).all(axis=1))[0]
+        hits = np.nonzero(
+            (win != SYNC_DIBITS).sum(axis=1) <= SYNC_TOLERANCE)[0]
         return int(hits[0]) if len(hits) else None
 
 

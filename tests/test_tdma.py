@@ -137,6 +137,70 @@ def test_tdma_slot_filter_receiver():
     assert not rx0.ended  # MAC_ACTIVE default doesn't end the call
 
 
+def test_tdma_survives_one_percent_dibit_corruption():
+    """Real C4FM/H-DQPSK flips symbols at usable SNR: with 1% random
+    dibit corruption the framer must keep >90% burst yield (sync
+    correlation tolerance + nearest-codeword I-ISCH; r2 demanded exact
+    matches and dropped whole pairs per flipped symbol)."""
+    rng = np.random.default_rng(99)
+    v0 = _mk_voice(18 * 6, 9)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0},
+                                 n_superframes=6)
+    corrupt = stream.copy()
+    hits = rng.random(len(corrupt)) < 0.01
+    corrupt[hits] = (corrupt[hits] + rng.integers(
+        1, 4, int(hits.sum()))) % 4
+    fr = T.TdmaFramer(NAC, SYSID, WACN)
+    got = []
+    for i in range(0, len(corrupt), 257):
+        got.extend(fr.feed(corrupt[i:i + 257]))
+    total = 6 * 12
+    assert len(got) > 0.9 * total, (len(got), total)
+    # payloads errors land in voice bits, not framing: sequence numbers
+    # must still be consistent with the schedule
+    for b in got:
+        assert b.kind == T.BURST_SCHEDULE[b.seq]
+
+
+def test_tdma_unaligned_pairs_held_not_dropped():
+    """A pair whose I-ISCH is unreadable before first alignment is held
+    and emitted retroactively once a later I-ISCH decodes (r2 dropped
+    it, stalling alignment indefinitely under payload-area errors)."""
+    v0 = _mk_voice(18, 10)
+    stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0},
+                                 lead_dibits=0).copy()
+    # obliterate the FIRST I-ISCH (burst 1's leading 20 dibits)
+    stream[T.BURST_DIBITS:T.BURST_DIBITS + T.N_ISCH] = 2
+    fr = T.TdmaFramer(NAC, SYSID, WACN)
+    got = fr.feed(stream)
+    assert len(got) == 12, len(got)
+    assert [b.seq for b in got] == list(range(12))
+    rx0 = [vc for b in got if b.slot == 0 for vc in b.voice]
+    for a, b in zip(v0, rx0):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_iisch_code_properties():
+    """The conjectural [40,9] I-ISCH code: minimum distance 14 (corrects
+    5 at the decode radius), and every whitened codeword stays ≥3
+    dibits away from the sync even after SYNC_TOLERANCE errors."""
+    cb = T._IISCH_CODEBOOK
+    assert cb.shape == (512, 40)
+    w = cb[1:].sum(axis=1)
+    assert int(w.min()) == 14
+    wh = cb ^ T._ISCH_MASK_BITS[None, :]
+    wh_d = wh.reshape(512, 20, 2)
+    sd = T.SYNC_DIBITS  # dibit-domain distance to the sync
+    dib = wh_d[..., 0] * 2 + wh_d[..., 1]
+    dist = (dib != sd[None, :]).sum(axis=1)
+    assert int(dist.min()) > T.SYNC_TOLERANCE + 2
+    # 5 bit errors anywhere still decode
+    d = T.isch_encode(1, 2, 1, 9)
+    bits = B.dibits_to_bits(d)
+    bits[[0, 9, 18, 27, 36]] ^= 1
+    assert T.isch_decode(B.bits_to_dibits(bits)) == (1, 2, 1, 9)
+
+
 def test_recorder_tdma_call_writes_vb_sidecar(tmp_path):
     v0 = _mk_voice(18, 8)
     stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0})
