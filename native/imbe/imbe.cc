@@ -42,6 +42,7 @@
  */
 
 #include "imbe.h"
+#include "imbe_tables.h"
 
 #include <math.h>
 #include <stdlib.h>
@@ -189,23 +190,45 @@ static void block_lengths(int L, int J[6]) {
  * G1..G5; n >= 5 are the higher-order block DCT coefficients, low
  * order first, interleaved across blocks (j = 1: blocks 0..5, then
  * j = 2, ...).  N = 5 + (L - 6) = L - 1 coefficients share the
- * A = 74 - K amplitude bits: floor(A/N) each, earlier (higher
- * priority) coefficients take the remainder, capped at 8 bits
- * (indices live in a uint8; any budget beyond the cap pads zero). */
-static int coef_alloc(int L, int K, int q[55]) {
+ * A = 74 - K amplitude bits via deterministic water-filling on the
+ * IMBE_PRBA_WEIGHTS / IMBE_HOC_WEIGHT priorities (imbe_tables.h [R]2,
+ * [R]3): one bit at a time to the coefficient with the largest
+ * marginal weight w[n]/2^q[n], lowest index on ties, capped at
+ * IMBE_MAX_COEF_BITS.  This reproduces the published tables'
+ * decreasing-by-priority shape (PRBA richest, high DCT orders
+ * starved) — the standard's exact per-L values are in its Annex
+ * tables (see imbe_tables.h ledger). */
+int imbe_coef_alloc(int L, int K, int q[55]) {
   int N = L - 1, A = 74 - K;
-  int base = A / N, extra = A % N;
-  for (int n = 0; n < N; ++n) {
-    q[n] = base + (n < extra ? 1 : 0);
-    if (q[n] > 8) q[n] = 8;
+  double w[55];
+  int J[6];
+  {
+    int base = L / 6, extra = L % 6;
+    for (int i = 0; i < 6; ++i) J[i] = base + (i < extra ? 1 : 0);
+  }
+  for (int n = 0; n < 5; ++n) w[n] = IMBE_PRBA_WEIGHTS[n];
+  int n = 5;
+  for (int j = 1; j < 11; ++j)
+    for (int i = 0; i < 6; ++i)
+      if (j < J[i]) w[n++] = IMBE_HOC_WEIGHT(j);
+  for (int m = 0; m < N; ++m) q[m] = 0;
+  for (int a = 0; a < A; ++a) {
+    int pick = -1;
+    double best = -1.0;
+    for (int m = 0; m < N; ++m) {
+      if (q[m] >= IMBE_MAX_COEF_BITS) continue;
+      double marg = w[m] / (double)(1u << q[m]);
+      if (marg > best) { best = marg; pick = m; }
+    }
+    if (pick < 0) break; /* every coefficient at the cap */
+    q[pick]++;
   }
   return N;
 }
 
-/* Uniform mid-rise quantizers: PRBA coefficients span +-4 (log2
- * units), higher-order coefficients +-3. */
+/* Uniform mid-rise quantizers (imbe_tables.h [R]4). */
 static double coef_step(int n, int qn) {
-  double range = (n < 5) ? 8.0 : 6.0;
+  double range = (n < 5) ? IMBE_PRBA_RANGE : IMBE_HOC_RANGE;
   return range / (double)(1u << qn);
 }
 
@@ -250,7 +273,7 @@ void imbe_scan_params(const imbe_params_t* p, uint8_t d[88]) {
   int L = imbe_harmonics_for_b0(p->b0);
   int K = imbe_bands_for_L(L);
   int q[55];
-  int N = coef_alloc(L, K, q);
+  int N = imbe_coef_alloc(L, K, q);
   for (int i = 0; i < 6; ++i) d[i] = (uint8_t)((p->b0 >> (7 - i)) & 1);
   for (int i = 0; i < 4; ++i) d[6 + i] = (uint8_t)((p->gain >> (5 - i)) & 1);
   for (int k = 0; k < K; ++k)
@@ -281,7 +304,7 @@ static void unscan_params(const uint8_t d[88], imbe_params_t* p) {
   int L = imbe_harmonics_for_b0(b0);
   int K = imbe_bands_for_L(L);
   int q[55];
-  int N = coef_alloc(L, K, q);
+  int N = imbe_coef_alloc(L, K, q);
   for (int k = 0; k < K; ++k)
     p->voicing |= (uint32_t)d[10 + k] << (11 - k);
   int pos = 10 + K;
@@ -404,7 +427,7 @@ static void reconstruct_amps(const imbe_params_t* p, imbe_pred_t* pr,
   int L = imbe_harmonics_for_b0(p->b0);
   int K = imbe_bands_for_L(L);
   int q[55];
-  int N = coef_alloc(L, K, q);
+  int N = imbe_coef_alloc(L, K, q);
   double vals[55];
   for (int n = 0; n < N; ++n)
     vals[n] = dequant_coef(p->amps[n], n, q[n]);
@@ -423,7 +446,7 @@ static void reconstruct_amps(const imbe_params_t* p, imbe_pred_t* pr,
     for (int i = 0; i < 6; ++i)
       if (j < J[i]) cblk[i][j] = vals[n++];
 
-  double gv = ((double)p->gain - 40.0) / 4.0; /* log2 frame level */
+  double gv = IMBE_GAIN_LEVELS[p->gain & 63]; /* log2 frame level */
   double newshape[58];
   int l = 1;
   for (int i = 0; i < 6; ++i) {
@@ -450,18 +473,22 @@ static void quantize_amps(const double logamp[58], int L,
                           imbe_pred_t* pr, imbe_params_t* p) {
   int K = imbe_bands_for_L(L);
   int q[55];
-  coef_alloc(L, K, q);
+  imbe_coef_alloc(L, K, q);
   double raw[58], mean = 0.0;
   for (int l = 1; l <= L; ++l) {
     raw[l] = logamp[l] - IMBE_RHO * pred_interp(pr, l, L);
     mean += raw[l];
   }
   mean /= (double)L;
-  int b2 = (int)lrint(40.0 + 4.0 * mean);
-  if (b2 < 0) b2 = 0;
-  if (b2 > 63) b2 = 63;
+  /* nearest gain level (imbe_tables.h [R]1; table is sorted) */
+  int b2 = 0;
+  double bd = fabs(mean - IMBE_GAIN_LEVELS[0]);
+  for (int i = 1; i < 64; ++i) {
+    double d = fabs(mean - IMBE_GAIN_LEVELS[i]);
+    if (d < bd) { bd = d; b2 = i; }
+  }
   p->gain = b2;
-  double gv = ((double)b2 - 40.0) / 4.0;
+  double gv = IMBE_GAIN_LEVELS[b2];
 
   int J[6];
   block_lengths(L, J);

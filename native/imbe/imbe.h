@@ -20,18 +20,19 @@
  * blocks DCT'd, block DC terms re-DCT'd into the PRBA vector whose DC
  * folds into the gain); split MSB/LSB priority placement of b0 and the
  * gain (b0 MSBs open the frame in Golay-protected u0, its 2 LSBs and
- * the gain's 2 LSBs close it in unprotected u7). RECONSTRUCTED pending
- * validation against TIA-102.BAAA Annex test vectors (not available in
- * this environment): the per-L bit-allocation table values (here:
- * near-equal split, high-priority remainder), quantizer step sizes
- * (here: uniform, +-3 PRBA / +-1.5 higher-order in log2 units), the
- * gain VQ (here: 1/4-log2 uniform steps), and the exact interleave of
- * amplitude bits inside the middle priority region (here: bit-plane
- * order, MSBs first). Off-air frames therefore decode to correct
- * pitch/voicing-count/gain-scale structure with approximate spectral
- * detail; closed-loop (this encoder <-> this decoder) the codec is
- * bit-exact and FEC-corrects up to 3 errors per Golay word and 1 per
- * Hamming word.
+ * the gain's 2 LSBs close it in unprotected u7).
+ *
+ * RECONSTRUCTED surfaces are exactly the four named tables in
+ * imbe_tables.h (gain levels, PRBA allocation weights, higher-order
+ * allocation weights, quantizer spans) — see the TABLE PROVENANCE
+ * LEDGER there; nothing else in the codec diverges from the published
+ * model description.  Consequence for off-air frames: correct
+ * pitch/voicing/gain-scale structure with approximate spectral detail
+ * until the Annex tables can be validated in.  Closed-loop (this
+ * encoder <-> this decoder) the codec is bit-exact and FEC-corrects up
+ * to 3 errors per Golay word and 1 per Hamming word; parameter frames
+ * built directly from explicit (b0, voicing, gain, amps) round-trip
+ * exactly for every b0 (tests/test_imbe.py).
  */
 #ifndef RC_TPU_IMBE_H
 #define RC_TPU_IMBE_H
@@ -87,6 +88,11 @@ void imbe_encode_params(const imbe_params_t* p, uint8_t bits[144]);
 
 int imbe_harmonics_for_b0(int b0); /* L */
 int imbe_bands_for_L(int L);       /* K = min(12, (L+2)/3) */
+/* Amplitude bit allocation: fills q[0..N-1] (N = L-1 coefficients in
+ * priority order: PRBA G1..G5 then higher-order block coefficients)
+ * with the per-coefficient bit counts for the 74-K budget; returns N.
+ * Deterministic water-filling on the imbe_tables.h weights. */
+int imbe_coef_alloc(int L, int K, int q[55]);
 /* 88-bit priority stream (u0..u7 info bits) for tests/diagnostics. */
 void imbe_scan_params(const imbe_params_t* p, uint8_t info[88]);
 

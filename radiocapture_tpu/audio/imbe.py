@@ -36,8 +36,10 @@ class _Params(ctypes.Structure):
 def build_library(force: bool = False) -> str:
     """Compile native/imbe into libimbe.so (idempotent)."""
     src = os.path.join(_NATIVE_DIR, "imbe", "imbe.cc")
+    newest = max(os.path.getmtime(os.path.join(_NATIVE_DIR, "imbe", f))
+                 for f in ("imbe.cc", "imbe.h", "imbe_tables.h"))
     if force or not os.path.exists(_LIB_PATH) or \
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
+            os.path.getmtime(_LIB_PATH) < newest:
         os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
         subprocess.run(
             ["g++", "-O2", "-fPIC", "-shared", "-o", _LIB_PATH, src,
@@ -79,6 +81,9 @@ def _load():
         lib.imbe_harmonics_for_b0.argtypes = [ctypes.c_int]
         lib.imbe_bands_for_L.restype = ctypes.c_int
         lib.imbe_bands_for_L.argtypes = [ctypes.c_int]
+        lib.imbe_coef_alloc.restype = ctypes.c_int
+        lib.imbe_coef_alloc.argtypes = [ctypes.c_int, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_int)]
         lib.imbe_scan_params.argtypes = [ctypes.POINTER(_Params),
                                          ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
@@ -183,6 +188,15 @@ def harmonics_for_b0(b0: int) -> int:
 def bands_for_l(l: int) -> int:
     """K = min(12, (L+2)//3) voicing bands."""
     return int(_load().imbe_bands_for_L(l))
+
+
+def coef_alloc(l: int, k: int) -> list[int]:
+    """Per-coefficient amplitude bit allocation for an (L, K) geometry:
+    N = L-1 entries in priority order (PRBA G1..G5, then higher-order
+    block DCT coefficients)."""
+    q = (ctypes.c_int * 55)()
+    n = _load().imbe_coef_alloc(l, k, q)
+    return [int(q[i]) for i in range(n)]
 
 
 def scan_params(b0: int, voicing: int, gain: int, amps=None) -> np.ndarray:
