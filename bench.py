@@ -23,13 +23,14 @@ def main():
 
     dev = jax.devices()[0]
 
-    # 64 sources x 2.4 MS/s = 153.6 MS/s per step-call batch; 64 slots
-    # each (4096 concurrent control/voice channels), 100 ms blocks. The
-    # scan kernel is latency-bound, not lane-bound, so widening the
-    # batch is nearly free until the channelizer matmul saturates
-    # (measured on v5e: 32 srcs 607 MS/s, 64 srcs 794, 96 srcs 855 with
-    # rising latency; 64 balances throughput vs block latency).
-    n_sources = 64
+    # 128 sources x 2.4 MS/s = 307 MS/s per step-call batch; 64 slots
+    # each (8192 concurrent control/voice channels), 100 ms blocks.
+    # Measured on v5e (r3 kernel: halo side-array + bf16 rows +
+    # transpose-outside + half-channel-transition taps): 64 srcs
+    # 1210 MS/s @ 12.7 ms, 96 srcs 1335 @ 17.3 ms, 128 srcs 1480 @
+    # 20.8 ms, 192 srcs collapses to 684 (HBM working-set spill).
+    # 128 keeps ~5x real-time block latency headroom at peak agg.
+    n_sources = 128
     samp_rate = 2.4e6
     num_slots = 64
     pipe = ControlPipeline.p25_c4fm(num_slots=num_slots,

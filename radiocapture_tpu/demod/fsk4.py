@@ -157,7 +157,7 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
     n = x.shape[-1]
     # Chunked scan: W samples unrolled inside each scan step, amortizing
     # per-step scan dispatch over W samples (identical math/op order).
-    w = next(w for w in (25, 20, 16, 10, 8, 5, 4, 3, 2, 1) if n % w == 0)
+    w = next(w for w in (50, 25, 20, 16, 10, 8, 5, 4, 3, 2, 1) if n % w == 0)
 
     def scan_fn(carry, xw):
         ys, emits = [], []

@@ -57,11 +57,16 @@ def _make_bank(frontend: str, num_slots: int, samp_rate: float,
                channel_rate: float):
     """Channel-extraction stage per config ``frontend_mode``
     (rc_frontend/receiver.py:242: 'xlat' per-channel filters, 'pfb'
-    coarse polyphase bins + fine xlat)."""
+    coarse polyphase bins + fine xlat; 'fft' is this framework's
+    overlap-save F-engine form of xlat — same filter, ~10x fewer
+    FLOPs, see ops/fft_bank.py)."""
     if frontend == "pfb":
         return PfbXlatBank(num_slots, samp_rate, channel_rate)
     if frontend == "xlat":
         return XlatBank.for_rates(num_slots, samp_rate, channel_rate)
+    if frontend == "fft":
+        from radiocapture_tpu.ops.fft_bank import FftXlatBank
+        return FftXlatBank.for_rates(num_slots, samp_rate, channel_rate)
     raise ValueError(f"unknown frontend_mode {frontend!r}")
 
 
@@ -159,7 +164,9 @@ class ControlPipeline:
     @property
     def block_multiple(self) -> int:
         """Input block length must be a multiple of this."""
-        return self.bank.decim * self.sym_decim
+        return int(np.lcm(getattr(self.bank, "block_multiple",
+                                  self.bank.decim),
+                          self.bank.decim * self.sym_decim))
 
     def _init_decoded(self) -> ControlPipelineState:
         c = self.num_slots
@@ -283,6 +290,10 @@ class CqpskControlPipeline:
     def decim(self) -> int:
         return self.bank.decim
 
+    @property
+    def block_multiple(self) -> int:
+        return int(getattr(self.bank, "block_multiple", self.bank.decim))
+
     def _init_decoded(self) -> CqpskPipelineState:
         return CqpskPipelineState(
             bank=self.bank.init(),
@@ -357,6 +368,10 @@ class AnalogVoicePipeline:
     @property
     def decim(self) -> int:
         return self.bank.decim
+
+    @property
+    def block_multiple(self) -> int:
+        return int(getattr(self.bank, "block_multiple", self.bank.decim))
 
     def _init_decoded(self) -> VoicePipelineState:
         c = self.num_slots

@@ -68,11 +68,19 @@ class XlatBank:
     def for_rates(cls, num_slots: int, samp_rate: float, channel_rate: float,
                   out_per_channel_rate: float | None = None) -> "XlatBank":
         """Build a bank delivering IQ at 2x channel_rate like the reference
-        (25 kS/s for 12.5 kHz channels)."""
+        (25 kS/s for 12.5 kHz channels).
+
+        Filter: 60 dB stopband with a half-channel transition — the
+        reference's per-channel filter uses the same transition width at
+        only 20 dB (rc_frontend/channel.py:33 low_pass_2(..,
+        channel_rate/2, channel_rate/2, 20)), so this keeps 40 dB more
+        adjacent-channel rejection at the adjacent carrier while costing
+        half the taps of a quarter-channel transition (the bank matmul's
+        K dimension is the framework's single hottest axis)."""
         out_rate = out_per_channel_rate or 2.0 * channel_rate
         decim = int(round(samp_rate / out_rate))
         taps = _taps.low_pass_2(1.0, samp_rate, channel_rate / 2.0,
-                                0.25 * channel_rate, 60.0)
+                                0.5 * channel_rate, 60.0)
         return cls(num_slots, decim, taps)
 
     def init(self) -> XlatBankState:

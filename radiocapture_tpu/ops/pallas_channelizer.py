@@ -145,10 +145,16 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
 
 
 def _fused_kernel(p: int, dp2: int, bn: int, c: int,
-                  za, zb, g, rot0, rowph, ore, oim, w):
+                  za, zh, g, rot0, rowph, ore, oim, w):
     """One N-tile of the fused bank: window build (interleaved re/im
     rows — the tap matrix absorbs the complex arithmetic), one MXU dot,
     in-kernel mixer rotation, transposed plane outputs.
+
+    The polyphase halo (the next tile's first P-1 rows) arrives as its
+    own small pre-sliced array instead of a second full-tile view of z:
+    fetching [BN, DP2] twice per tile doubled the kernel's HBM traffic,
+    which — together with f32 rows — dominated the whole bank at
+    production shapes (z is also fed bfloat16; see bank_fused_pallas).
 
     The rotation phasor factors as e^{j·(phase0 + step·(t·BN + i))} =
     rot0[t] · rowph[i]: the tile-independent row table comes from the
@@ -156,7 +162,7 @@ def _fused_kernel(p: int, dp2: int, bn: int, c: int,
     complex multiply — ~4·BN·C cheap VPU multiplies instead of BN·C
     sin/cos pairs (transcendentals measured several times the cost of
     the whole discriminator stage at these shapes)."""
-    z = jnp.concatenate([za[:], zb[: p - 1, :]], axis=0)
+    z = jnp.concatenate([za[:], zh[0, : p - 1, :]], axis=0)
     for q in range(p):
         w[:, q * dp2:(q + 1) * dp2] = z[q:q + bn, :].astype(w.dtype)
     acc = jnp.dot(w[:], g[:], preferred_element_type=jnp.float32)
@@ -164,10 +170,11 @@ def _fused_kernel(p: int, dp2: int, bn: int, c: int,
     rp_re, rp_im = rowph[:, :c], rowph[:, c:]                # [BN, C]
     r_re = rp_re * b_re - rp_im * b_im
     r_im = rp_re * b_im + rp_im * b_re
-    y_re = acc[:, :c] * r_re - acc[:, c:] * r_im
-    y_im = acc[:, :c] * r_im + acc[:, c:] * r_re
-    ore[:] = y_re.T
-    oim[:] = y_im.T
+    # outputs stay [BN, C]; the [C, N] layout flip happens outside as
+    # one XLA transpose pass (in-kernel .T lowers to per-tile
+    # lane<->sublane shuffle storms).
+    ore[:] = acc[:, :c] * r_re - acc[:, c:] * r_im
+    oim[:] = acc[:, :c] * r_im + acc[:, c:] * r_re
 
 
 @functools.partial(jax.jit, static_argnames=("p", "d", "interpret"))
@@ -203,10 +210,18 @@ def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
     if dp2 != d2:
         z2 = jnp.pad(z2, ((0, 0), (0, dp2 - d2)))
     pad = (ntiles + 1) * bn - rows
-    z2 = jnp.pad(z2, ((0, pad), (0, 0)))
+    # bf16 input rows: halves the dominant HBM stream; SDR IQ carries
+    # 8-12 significant bits and the MXU accumulates f32, so the ~2^-9
+    # rounding sits far below the decode noise floor (same argument as
+    # the bf16 taps).
+    z2 = jnp.pad(z2, ((0, pad), (0, 0))).astype(jnp.bfloat16)
+    # pre-sliced polyphase halos: tile t's extra P-1 rows, sublane-padded
+    ph8 = max(8, -(-(p - 1) // 8) * 8)
+    halo = jnp.stack([z2[(t + 1) * bn:(t + 1) * bn + ph8]
+                      for t in range(ntiles)])      # [ntiles, ph8, dp2]
     z_a = pl.BlockSpec((bn, dp2), lambda t: (t, 0),
                        memory_space=pltpu.VMEM)
-    z_b = pl.BlockSpec((bn, dp2), lambda t: (t + 1, 0),
+    z_h = pl.BlockSpec((1, ph8, dp2), lambda t: (t, 0, 0),
                        memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((p * dp2, 2 * c), lambda t: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -214,19 +229,20 @@ def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
                           memory_space=pltpu.VMEM)
     pw_spec = pl.BlockSpec((rowph.shape[0], 2 * c), lambda t: (0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((c, bn), lambda t: (0, t),
+    o_spec = pl.BlockSpec((bn, c), lambda t: (t, 0),
                           memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((c, ntiles * bn), jnp.float32)] * 2
+    out_shape = [jax.ShapeDtypeStruct((ntiles * bn, c), jnp.float32)] * 2
     kern = functools.partial(_fused_kernel, p, dp2, bn, c)
-    return pl.pallas_call(
+    y_re, y_im = pl.pallas_call(
         kern,
         grid=(ntiles,),
         out_shape=out_shape,
-        in_specs=[z_a, z_b, g_spec, r_spec, pw_spec],
+        in_specs=[z_a, z_h, g_spec, r_spec, pw_spec],
         out_specs=[o_spec, o_spec],
         scratch_shapes=[pltpu.VMEM((bn, p * dp2), jnp.bfloat16)],
         interpret=interpret,
-    )(z2, z2, g2, rot0, rowph)
+    )(z2, halo, g2, rot0, rowph)
+    return y_re.T, y_im.T
 
 
 def fused_rotation_tables(phase0: jax.Array, step: jax.Array,

@@ -233,3 +233,56 @@ def test_pfb_xlat_bank_matches_xlat_bank_tones():
     st3 = bank.init()
     _, y_once = bank(st3, jnp.asarray(wide), jnp.asarray(offs_hz / fs))
     np.testing.assert_allclose(one, np.asarray(y_once), atol=2e-3)
+
+
+def test_fft_bank_matches_xlat_bank():
+    """The overlap-save F-engine bank (ops/fft_bank, frontend_mode
+    'fft') must match XlatBank within the FIR's stopband leakage
+    (~-60 dB → rel RMS ≲ 1e-2 at this tiny N_fft; production N_fft is
+    96x larger so the residual band-centering error shrinks with it),
+    including streaming continuity and the exact uint32 mixer phase."""
+    from radiocapture_tpu.ops.fft_bank import FftXlatBank
+    rng = np.random.default_rng(7)
+    samp, ch = 200e3, 12.5e3
+    xb = XlatBank.for_rates(5, samp, ch)
+    fb = FftXlatBank(5, xb.decim, xb.taps, n_blk=256)
+    assert fb.block_multiple % xb.decim == 0
+    offs = np.array([0.0, 0.1, -0.23, 0.31, -0.05], np.float32)
+    xs = (rng.standard_normal((3, fb.t_window))
+          + 1j * rng.standard_normal((3, fb.t_window))
+          ).astype(np.complex64)
+    s1, s2 = xb.init(), fb.init()
+    for blk in range(3):
+        s1, y1 = xb(s1, jnp.asarray(xs[blk]), jnp.asarray(offs))
+        s2, y2 = fb(s2, jnp.asarray(xs[blk]), jnp.asarray(offs))
+        y1, y2 = np.asarray(y1), np.asarray(y2)
+        assert y1.shape == y2.shape
+        rel = np.sqrt(np.mean(np.abs(y1 - y2) ** 2)
+                      / np.mean(np.abs(y1) ** 2))
+        assert rel < 1.5e-2, (blk, rel)
+    # multi-window blocks chain through the history state
+    s3 = fb.init()
+    _, y3 = fb(s3, jnp.asarray(xs.reshape(-1)), jnp.asarray(offs))
+    s4 = fb.init()
+    parts = []
+    for blk in range(3):
+        s4, yb = fb(s4, jnp.asarray(xs[blk]), jnp.asarray(offs))
+        parts.append(np.asarray(yb))
+    np.testing.assert_allclose(np.asarray(y3),
+                               np.concatenate(parts, axis=1), atol=1e-5)
+
+
+def test_fft_frontend_mode_pipeline():
+    """frontend_mode='fft' drops into ControlPipeline: same decode
+    contract, block_multiple = the bank's overlap-save window."""
+    from radiocapture_tpu.frontend.pipeline import ControlPipeline
+    pipe = ControlPipeline.p25_c4fm(num_slots=4, samp_rate=200e3,
+                                    frontend="fft")
+    assert pipe.block_multiple % (pipe.decim * pipe.sym_decim) == 0
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((pipe.block_multiple, 2)).astype(np.float32)
+    st = pipe.init()
+    st, (syms, valid, dibits) = pipe.step(st, jnp.asarray(x),
+                                          jnp.zeros(4, jnp.float32))
+    assert syms.shape[0] == 4
+    assert syms.shape == valid.shape == dibits.shape
