@@ -176,94 +176,133 @@ class InProcBus:
 
 
 class RedisBus:
-    """Same API over Redis pub/sub for multi-host control planes.
+    """Same API over the Redis wire protocol for multi-host control
+    planes — built on the in-repo stdlib RESP client (control.resp), so
+    it speaks to a real Redis in production and to
+    ``resp.MiniRedisServer`` in tests without any package dependency.
 
-    Gated on the ``redis`` package; body is JSON on the wire like the
-    reference (client_redis.py:129-131). Supports a server list with
-    publish-to-all / subscribe-to-all like the reference's multi-server
-    config (redis_channelizer_manager.py:44-46).
+    Reference semantics preserved (client_redis.py):
+    - JSON bodies on the wire with latency headers (129-131, 218-228);
+    - multi-server publish-to-all / subscribe-to-all
+      (redis_channelizer_manager.py:44-46);
+    - **reconnect-requeue** on the durable tier: a failed hopeful send
+      is requeued at the *head* and retried by the drain thread after
+      reconnect (client_redis.py:140-152); the lossy tier drops;
+    - subscriber connections re-subscribe everything on reconnect
+      (client_redis.py:74-92 handled inside RespPubSub).
     """
 
     def __init__(self, servers: list[dict] | None = None,
-                 latency_warn_s: float = 0.1):
-        try:
-            import redis  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "RedisBus requires the `redis` package; use InProcBus "
-                "for single-host deployments") from e
-        import redis
-        self._redis = [redis.Redis(host=s.get("host", "localhost"),
-                                   port=s.get("port", 6379))
-                       for s in (servers or [{}])]
-        self._pubsubs = []
-        self._threads = []
+                 latency_warn_s: float = 0.1,
+                 retry_s: float = 0.25):
+        from radiocapture_tpu.control.resp import RespClient, RespPubSub
+        servers = servers or [{}]
+        self._clients = [RespClient(host=s.get("host", "localhost"),
+                                    port=s.get("port", 6379))
+                         for s in servers]
+        self._pubsubs = [RespPubSub(host=s.get("host", "localhost"),
+                                    port=s.get("port", 6379),
+                                    reconnect_s=retry_s)
+                         for s in servers]
         self._running = True
         self.latency_warn_s = latency_warn_s
         self.latency_warnings = 0
+        self.connection_issue = False
+        self.retry_s = retry_s
+        self._hopeful: list[tuple[str, str]] = []   # [(dest, data)]
+        self._hopeful_cv = threading.Condition()
+        self._cb_map: dict = {}
+        self._drain = threading.Thread(target=self._drain_hopeful,
+                                       daemon=True, name="redisbus-drain")
+        self._drain.start()
 
+    # ---- subscribe side
     def subscribe(self, dest: str, callback: Callable[[dict], None]) -> None:
-        pattern = dest.replace("*", "*")
-        for r in self._redis:
-            ps = r.pubsub()
-            ps.psubscribe(**{pattern: lambda m, cb=callback:
-                             self._on_msg(m, cb)})
-            t = ps.run_in_thread(sleep_time=0.01, daemon=True)
-            self._pubsubs.append(ps)
-            self._threads.append(t)
+        def on_msg(_chan: str, data: bytes, cb=callback):
+            try:
+                body = json.loads(data)
+            except Exception:
+                return
+            hdr = body.pop("_headers", {})
+            tq = hdr.get("time_queued")
+            if tq and time.time() - tq > self.latency_warn_s:
+                self.latency_warnings += 1
+            cb(body)
+        self._cb_map[(dest, callback)] = on_msg
+        for ps in self._pubsubs:
+            ps.psubscribe(dest, on_msg)
 
-    def _on_msg(self, m, callback) -> None:
-        try:
-            body = json.loads(m["data"])
-        except Exception:
-            return
-        hdr = body.pop("_headers", {})
-        tq = hdr.get("time_queued")
-        if tq and time.time() - tq > self.latency_warn_s:
-            self.latency_warnings += 1
-        callback(body)
+    def unsubscribe(self, dest: str,
+                    callback: Callable[[dict], None] | None = None) -> None:
+        for (d, cb), wrapped in list(self._cb_map.items()):
+            if d == dest and (callback is None or cb is callback):
+                for ps in self._pubsubs:
+                    ps.punsubscribe(dest, wrapped)
+                del self._cb_map[(d, cb)]
+
+    # ---- publish side
+    @staticmethod
+    def _payload(body: dict, headers: dict | None) -> str:
+        payload = dict(body)
+        payload["_headers"] = {"time_queued": time.time(),
+                               **(headers or {})}
+        return json.dumps(payload)
 
     def send_event_lazy(self, dest: str, body: dict,
                         headers: dict | None = None) -> None:
-        payload = dict(body)
-        payload["_headers"] = {"time_queued": time.time(),
-                               **(headers or {})}
-        data = json.dumps(payload)
-        for r in self._redis:
+        data = self._payload(body, headers)
+        for c in self._clients:
             try:
-                r.publish(dest, data)
-            except Exception:
-                pass  # lossy tier
+                c.publish(dest, data)
+            except ConnectionError:
+                self.connection_issue = True   # lossy tier: drop
 
     def send_event_hopeful(self, dest: str, body: dict,
-                           headers: dict | None = None,
-                           max_retries: int = 10) -> None:
-        payload = dict(body)
-        payload["_headers"] = {"time_queued": time.time(),
-                               **(headers or {})}
-        data = json.dumps(payload)
-        for r in self._redis:
-            for _ in range(max_retries):
-                try:
-                    r.publish(dest, data)
-                    # Durable copy under a list key for pull consumers.
-                    r.rpush("queue:" + dest, data)
-                    break
-                except Exception:
-                    time.sleep(0.5)
+                           headers: dict | None = None) -> None:
+        with self._hopeful_cv:
+            self._hopeful.append((dest, self._payload(body, headers)))
+            self._hopeful_cv.notify()
+
+    def _drain_hopeful(self) -> None:
+        while self._running:
+            with self._hopeful_cv:
+                if not self._hopeful:
+                    self._hopeful_cv.wait(timeout=0.5)
+                    continue
+                dest, data = self._hopeful.pop(0)
+            try:
+                for c in self._clients:
+                    c.publish(dest, data)
+                    # durable copy under a list key for pull consumers
+                    c.rpush("queue:" + dest, data)
+                self.connection_issue = False
+            except ConnectionError:
+                # requeue at HEAD and back off (client_redis.py:140-152)
+                self.connection_issue = True
+                with self._hopeful_cv:
+                    self._hopeful.insert(0, (dest, data))
+                time.sleep(self.retry_s)
+
+    def flush(self, timeout: float = 5.0) -> bool:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._hopeful_cv:
+                if not self._hopeful:
+                    return True
+            time.sleep(0.01)
+        return False
 
     def close(self) -> None:
         self._running = False
-        for t in self._threads:
-            t.stop()
+        for ps in self._pubsubs:
+            ps.close()
+        for c in self._clients:
+            c.close()
 
 
 def make_bus(redis_servers: list[dict] | None = None):
-    """RedisBus when servers are configured and redis importable; else
-    InProcBus."""
+    """RedisBus when servers are configured (connections are lazy with
+    reconnect, so a not-yet-up broker is fine); else InProcBus."""
     if redis_servers:
-        try:
-            return RedisBus(redis_servers)
-        except RuntimeError:
-            log.warning("redis unavailable; using in-process bus")
+        return RedisBus(redis_servers)
     return InProcBus()

@@ -69,6 +69,11 @@ class CallManagerBase:
         self.system_metadata: dict[str, dict] = {}
         self._locks: dict[str, threading.RLock] = {}
         self._subscribed: set[str] = set()
+        #: cross-site merge window: calls for the same (group, user)
+        #: opened within this many seconds anywhere in the system share
+        #: one call_uuid (reference hard-codes 1 s,
+        #: p25_call_manager.py:150-164).
+        self.merge_window_s = 1.0
 
     # ---- demod lifecycle (notify_demod_new/expire contract) ----
     def notify_demod_new(self, dtype: str, instance_uuid: str,
@@ -194,7 +199,7 @@ class CallManagerBase:
                 if c["system_group_local"] == group_address and (
                         user_address == 0 or
                         c["system_user_local"] == user_address) and \
-                        now - c["time_open"] < 1.0:
+                        now - c["time_open"] < self.merge_window_s:
                     call_uuid = c["call_uuid"]
                     break
             if call_uuid is None:

@@ -53,12 +53,17 @@ class PresenceStore:
 
 
 class RedisPresenceStore:
-    """Same contract over Redis keys with TTL (multi-host)."""
+    """Same contract over Redis keys with TTL (multi-host): instance
+    sets + per-uuid JSON blobs with server-side expiry, matching the
+    reference's record shape (redis_demod_publisher.py:74-78,
+    redis_demod_manager.py:41-50). Built on the in-repo RESP client
+    (control.resp) — no package dependency; connection failures degrade
+    to empty results (presence is best-effort liveness data)."""
 
     def __init__(self, servers: list[dict]):
-        import redis
-        self._redis = [redis.Redis(host=s.get("host", "localhost"),
-                                   port=s.get("port", 6379))
+        from radiocapture_tpu.control.resp import RespClient
+        self._redis = [RespClient(host=s.get("host", "localhost"),
+                                  port=s.get("port", 6379))
                        for s in (servers or [{}])]
 
     def publish(self, kind: str, uid: str, record: dict) -> None:
@@ -87,7 +92,7 @@ class RedisPresenceStore:
                     uid = uid.decode()
                     raw = r.get(f"{kind}:{uid}")
                     if raw is None:
-                        r.srem(kind, uid)
+                        r.srem(kind, uid)   # reap (redis_demod_manager)
                         continue
                     blob = json.loads(raw)
                     if now - blob["t"] <= ttl:
@@ -100,7 +105,7 @@ class RedisPresenceStore:
         seen = set()
         for r in self._redis:
             try:
-                for k in r.scan_iter(match=prefix + "*"):
+                for k in r.keys(prefix + "*"):
                     k = k.decode()
                     if ":" not in k[len(prefix):]:
                         seen.add(k)

@@ -21,6 +21,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0x5F5FF77F)
