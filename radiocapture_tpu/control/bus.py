@@ -209,8 +209,12 @@ class RedisBus:
         self.latency_warnings = 0
         self.connection_issue = False
         self.retry_s = retry_s
-        self._hopeful: list[tuple[str, str]] = []   # [(dest, data)]
+        # [(dest, data, pending-client-indices)] — per-server success is
+        # tracked so a retry after a partial failure only hits the
+        # servers that failed (no duplicate durable queue entries).
+        self._hopeful: list[tuple[str, str, set[int]]] = []
         self._hopeful_cv = threading.Condition()
+        self._inflight = 0          # popped but not yet fully published
         self._cb_map: dict = {}
         self._drain = threading.Thread(target=self._drain_hopeful,
                                        daemon=True, name="redisbus-drain")
@@ -260,7 +264,8 @@ class RedisBus:
     def send_event_hopeful(self, dest: str, body: dict,
                            headers: dict | None = None) -> None:
         with self._hopeful_cv:
-            self._hopeful.append((dest, self._payload(body, headers)))
+            self._hopeful.append((dest, self._payload(body, headers),
+                                  set(range(len(self._clients)))))
             self._hopeful_cv.notify()
 
     def _drain_hopeful(self) -> None:
@@ -269,25 +274,42 @@ class RedisBus:
                 if not self._hopeful:
                     self._hopeful_cv.wait(timeout=0.5)
                     continue
-                dest, data = self._hopeful.pop(0)
-            try:
-                for c in self._clients:
+                dest, data, pending = self._hopeful.pop(0)
+                self._inflight += 1
+            failed = False
+            for i in sorted(pending):
+                try:
+                    c = self._clients[i]
                     c.publish(dest, data)
                     # durable copy under a list key for pull consumers
                     c.rpush("queue:" + dest, data)
+                    pending.discard(i)
+                except Exception:
+                    # ConnectionError OR server-side RespError (MISCONF,
+                    # LOADING, ...): the drain thread must never die —
+                    # that would silently disable the durable tier
+                    # forever. Requeue and back off instead.
+                    failed = True
+            if not failed:
                 self.connection_issue = False
-            except ConnectionError:
-                # requeue at HEAD and back off (client_redis.py:140-152)
-                self.connection_issue = True
                 with self._hopeful_cv:
-                    self._hopeful.insert(0, (dest, data))
+                    self._inflight -= 1
+            else:
+                # requeue at HEAD and back off (client_redis.py:140-152);
+                # only the still-pending servers are retried.
+                self.connection_issue = True
+                log.warning("hopeful publish to %s failed on %d "
+                            "server(s); retrying", dest, len(pending))
+                with self._hopeful_cv:
+                    self._hopeful.insert(0, (dest, data, pending))
+                    self._inflight -= 1
                 time.sleep(self.retry_s)
 
     def flush(self, timeout: float = 5.0) -> bool:
         deadline = time.time() + timeout
         while time.time() < deadline:
             with self._hopeful_cv:
-                if not self._hopeful:
+                if not self._hopeful and self._inflight == 0:
                     return True
             time.sleep(0.01)
         return False

@@ -102,10 +102,12 @@ class RedisPresenceStore:
         return out
 
     def kinds(self, prefix: str = "") -> list[str]:
+        # cursor-based SCAN, not KEYS: the latter is a blocking
+        # O(keyspace) command that can stall a shared production Redis
         seen = set()
         for r in self._redis:
             try:
-                for k in r.keys(prefix + "*"):
+                for k in r.scan_iter(prefix + "*"):
                     k = k.decode()
                     if ":" not in k[len(prefix):]:
                         seen.add(k)

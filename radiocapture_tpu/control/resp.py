@@ -49,8 +49,58 @@ def encode_command(*args) -> bytes:
     return b"".join(out)
 
 
+class _Incomplete(Exception):
+    """A full reply is not yet buffered; recv more and re-parse."""
+
+
+def _parse_reply(buf: bytes, pos: int):
+    """Parse one RESP reply starting at ``buf[pos:]``.
+
+    Returns ``(value, newpos)``; raises :class:`_Incomplete` when more
+    bytes are needed. Server errors (``-``) are *returned* as
+    :class:`RespError` instances rather than raised so that an error
+    nested inside an array still consumes its bytes.
+    """
+    i = buf.find(b"\r\n", pos)
+    if i < 0:
+        raise _Incomplete
+    line = buf[pos:i]
+    pos = i + 2
+    t, rest = line[:1], line[1:]
+    if t == b"+":
+        return rest.decode(), pos
+    if t == b"-":
+        return RespError(rest.decode()), pos
+    if t == b":":
+        return int(rest), pos
+    if t == b"$":
+        n = int(rest)
+        if n < 0:
+            return None, pos
+        if len(buf) < pos + n + 2:
+            raise _Incomplete
+        return buf[pos:pos + n], pos + n + 2
+    if t == b"*":
+        n = int(rest)
+        if n < 0:
+            return None, pos
+        items = []
+        for _ in range(n):
+            v, pos = _parse_reply(buf, pos)
+            items.append(v)
+        return items, pos
+    raise ConnectionError(f"bad RESP type byte {t!r}")
+
+
 class _Reader:
-    """Incremental RESP reply parser over a socket."""
+    """Incremental RESP reply parser over a socket.
+
+    ``read()`` is **resumable**: bytes are consumed from the buffer only
+    once a complete reply has been parsed, so a ``socket.timeout`` that
+    interrupts a reply fragmented across recv()s leaves the stream
+    intact — the next call re-parses from the preserved prefix instead
+    of desyncing (pubsub connections poll with a 0.5 s recv timeout).
+    """
 
     def __init__(self, sock: socket.socket):
         self.sock = sock
@@ -62,38 +112,19 @@ class _Reader:
             raise ConnectionError("peer closed")
         self.buf += chunk
 
-    def _line(self) -> bytes:
-        while True:
-            i = self.buf.find(b"\r\n")
-            if i >= 0:
-                line, self.buf = self.buf[:i], self.buf[i + 2:]
-                return line
-            self._fill()
-
-    def _exactly(self, n: int) -> bytes:
-        while len(self.buf) < n + 2:
-            self._fill()
-        data, self.buf = self.buf[:n], self.buf[n + 2:]
-        return data
-
     def read(self):
         """One reply: str (+simple), int (:), bytes ($bulk), None
         ($-1/*-1), list (*array); raises RespError on (-)."""
-        line = self._line()
-        t, rest = line[:1], line[1:]
-        if t == b"+":
-            return rest.decode()
-        if t == b"-":
-            raise RespError(rest.decode())
-        if t == b":":
-            return int(rest)
-        if t == b"$":
-            n = int(rest)
-            return None if n < 0 else self._exactly(n)
-        if t == b"*":
-            n = int(rest)
-            return None if n < 0 else [self.read() for _ in range(n)]
-        raise ConnectionError(f"bad RESP type byte {t!r}")
+        while True:
+            try:
+                value, pos = _parse_reply(self.buf, 0)
+            except _Incomplete:
+                self._fill()
+                continue
+            self.buf = self.buf[pos:]
+            if isinstance(value, RespError):
+                raise value
+            return value
 
 
 class RespError(Exception):
@@ -172,6 +203,17 @@ class RespClient:
 
     def keys(self, pattern: str) -> list[bytes]:
         return self.execute("KEYS", pattern) or []
+
+    def scan_iter(self, pattern: str, count: int = 100):
+        """Cursor-based SCAN MATCH — non-blocking on a shared production
+        Redis, unlike KEYS (O(total keyspace) under the server lock)."""
+        cursor = b"0"
+        while True:
+            cursor, batch = self.execute(
+                "SCAN", cursor, "MATCH", pattern, "COUNT", count)
+            yield from batch
+            if cursor in (b"0", 0, "0"):
+                return
 
     def rpush(self, key: str, *values) -> int:
         return self.execute("RPUSH", key, *values)
@@ -435,10 +477,33 @@ class MiniRedisServer:
                         if self._alive(k) is not None
                         and fnmatch.fnmatchcase(k, pat)]
                 return _reply_array([k.encode() for k in sorted(keys)])
+            if name == "SCAN":
+                # cursor = index into the sorted key list (stable enough
+                # for a test server; real Redis uses bucket cursors)
+                cursor = int(args[0])
+                pat, count = "*", 10
+                rest = [a.decode() for a in args[1:]]
+                for j in range(0, len(rest) - 1, 2):
+                    if rest[j].upper() == "MATCH":
+                        pat = rest[j + 1]
+                    elif rest[j].upper() == "COUNT":
+                        count = int(rest[j + 1])
+                live = sorted(k for k in list(self._store)
+                              if self._alive(k) is not None)
+                window = live[cursor:cursor + count]
+                nxt = cursor + count
+                nxt_b = b"0" if nxt >= len(live) else str(nxt).encode()
+                hits = [k.encode() for k in window
+                        if fnmatch.fnmatchcase(k, pat)]
+                return (b"*2\r\n" + _reply_bulk(nxt_b) +
+                        _reply_array(hits))
             if name == "RPUSH":
                 key = args[0].decode()
                 ent = self._alive(key)
-                lst = list(ent[1]) if ent and ent[0] == "list" else []
+                if ent is not None and ent[0] != "list":
+                    raise RespError("WRONGTYPE Operation against a key "
+                                    "holding the wrong kind of value")
+                lst = list(ent[1]) if ent else []
                 lst.extend(args[1:])
                 self._store[key] = ("list", lst, None)
                 return b":%d\r\n" % len(lst)
@@ -481,6 +546,11 @@ class MiniRedisServer:
         """Simulate a broker bounce: kill every live client connection
         (the server keeps running; clients must reconnect)."""
         conns, self._conns = self._conns, []
+        with self._lock:
+            # purge subscriptions of the dropped conns immediately so
+            # observers of _subs can't mistake a dead entry for a live
+            # re-subscribe (the serve threads also remove on wake)
+            self._subs = [s for s in self._subs if s[0] not in conns]
         for c in conns:
             try:
                 c.shutdown(socket.SHUT_RDWR)

@@ -17,13 +17,30 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+import sys
+
 import numpy as np
 import pytest
+
+# Absolute repo root on sys.path: the autouse chdir fixture below changes
+# CWD per-test, which would otherwise break lazy `radiocapture_tpu`
+# imports resolved through the '' (CWD) sys.path entry.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running integration tests")
+
+
+@pytest.fixture(autouse=True)
+def _isolate_cwd(tmp_path, monkeypatch):
+    """Run every test from its own tmp dir so default-relative output
+    paths (RcConfig.audio_dir='audio', spool dirs) never pollute the
+    repo tree (VERDICT r3 weak #7)."""
+    monkeypatch.chdir(tmp_path)
 
 
 @pytest.fixture(scope="session")

@@ -56,6 +56,66 @@ def test_resp_commands_roundtrip(server):
     c.close()
 
 
+def test_resp_scan_cursor(server):
+    c = RespClient(server.host, server.port)
+    for i in range(25):
+        c.set(f"demod:p25:u{i:02d}", "x")
+    c.set("other", "y")
+    hits = sorted(k.decode() for k in c.scan_iter("demod:p25:*", count=7))
+    assert hits == sorted(f"demod:p25:u{i:02d}" for i in range(25))
+    c.close()
+
+
+def test_resp_reader_resumes_fragmented_reply():
+    """A reply fragmented across recv timeouts must not desync the
+    stream: the parser consumes bytes only once a full reply is
+    buffered (ADVICE r3: RespPubSub mid-parse timeout)."""
+    import socket as socketlib
+
+    from radiocapture_tpu.control.resp import _Reader, encode_command
+
+    a, b = socketlib.socketpair()
+    try:
+        a.settimeout(0.05)
+        reader = _Reader(a)
+        # a pmessage array split at an awkward point: type line + first
+        # element sent, then a pause longer than the recv timeout
+        full = (b"*4\r\n$8\r\npmessage\r\n$3\r\npat\r\n"
+                b"$4\r\nchan\r\n$5\r\nhello\r\n")
+        b.sendall(full[:20])
+        with pytest.raises(socketlib.timeout):
+            reader.read()
+        b.sendall(full[20:])
+        # follow-up traffic must parse cleanly after the resumed reply
+        b.sendall(encode_command("PING"))
+        msg = reader.read()
+        assert msg == [b"pmessage", b"pat", b"chan", b"hello"]
+        assert reader.read() == [b"PING"]
+    finally:
+        a.close()
+        b.close()
+
+
+def test_redisbus_drain_survives_resp_error(server):
+    """A server-side error (e.g. MISCONF/WRONGTYPE) on the durable tier
+    must not kill the drain thread (ADVICE r3 medium)."""
+    c = RespClient(server.host, server.port)
+    # poison the queue key with a non-list type → RPUSH will -ERR
+    c.set("queue:/queue/x", "not-a-list")
+    bus = RedisBus(_servers(server), retry_s=0.05)
+    bus.send_event_hopeful("/queue/x", {"n": 1})
+    time.sleep(0.3)
+    assert bus._drain.is_alive()
+    assert not bus.flush(timeout=0.2)      # stuck but alive, retrying
+    # clear the poison → the held item must now deliver
+    c.delete("queue:/queue/x")
+    assert bus.flush(timeout=2.0)
+    items = c.lrange("queue:/queue/x", 0, -1)
+    assert len(items) == 1 and json.loads(items[0])["n"] == 1
+    bus.close()
+    c.close()
+
+
 def test_resp_expiry(server):
     c = RespClient(server.host, server.port)
     c.set("t", "v", ex=1)
