@@ -133,7 +133,8 @@ class ControlPipeline:
         # tunneled TPU transport can't carry complex64/uint32 buffers at
         # executable I/O; complex math stays inside jit.
         self._state_spec = _wire.abstract(self._init_decoded)
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,),
+                             static_argnames=("with_track",))
 
     # -- constructors matching the three reference control-channel classes
     @classmethod
@@ -182,7 +183,7 @@ class ControlPipeline:
         return _wire.zeros(_wire.encode(self._state_spec))
 
     def _step_impl(self, wire_state: ControlPipelineState, x: jax.Array,
-                   offsets_norm: jax.Array):
+                   offsets_norm: jax.Array, with_track: bool = False):
         state = _wire.decode(wire_state, self._state_spec)
         bs, chans = _bank_step(self.bank, state.bank, x, offsets_norm)
         qs, disc = _fm.quadrature_demod(state.quad, chans, self.disc_gain)
@@ -199,8 +200,10 @@ class ControlPipeline:
                                          fsk4=fs)
         # valid/dibits leave the device as int32 — 1/2-byte dtypes can't
         # cross some TPU transports.
-        return _wire.encode(new_state), (syms, valid.astype(jnp.int32),
-                                         dibits)
+        outs = (syms, valid.astype(jnp.int32), dibits)
+        if with_track:
+            outs = outs + (filt,)
+        return _wire.encode(new_state), outs
 
     def step(self, state: ControlPipelineState, x: jax.Array,
              offsets_norm: jax.Array):
@@ -214,6 +217,15 @@ class ControlPipeline:
         dibits [C, N] int32)) with N = T // (decim · sym_decim).
         """
         return self._step(state, x, offsets_norm)
+
+    def step_debug(self, state: ControlPipelineState, x: jax.Array,
+                   offsets_norm: jax.Array):
+        """Like :meth:`step` but the output tuple carries a 4th element:
+        the pre-scan track-rate stream [C, N] (channelized →
+        discriminated → symbol-filtered, before the fsk4 tracking scan).
+        Used by the sequence-parallel equivalence tests, which assert
+        this stream is *exactly* equal across sharding layouts."""
+        return self._step(state, x, offsets_norm, with_track=True)
 
     def offsets_for(self, freqs_hz: np.ndarray, center_hz: float
                     ) -> np.ndarray:

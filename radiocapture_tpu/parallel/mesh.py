@@ -205,6 +205,7 @@ class TimeShardedControlStep:
                           in_specs=self._in_specs,
                           out_specs=self._out_specs, check_vma=False)
         self._step = jax.jit(f, donate_argnums=(0,))
+        self._step_debug = None     # built on first step_debug() call
 
     class _TimeState(NamedTuple):
         in_hist: jax.Array   # [S, halo] complex64: block-end tail
@@ -230,7 +231,24 @@ class TimeShardedControlStep:
     def step(self, state, x, offsets_norm):
         return self._step(state, x, offsets_norm)
 
-    def _local_step(self, wire_state, x_loc, offs_loc):
+    def step_debug(self, state, x, offsets_norm):
+        """Like :meth:`step` but with the gathered pre-scan track-rate
+        stream [S, C, N] as a 4th output — the stream the docstring
+        claims is bit-identical to the streaming single-device
+        pipeline. Tests assert exact equality on it."""
+        if self._step_debug is None:
+            src, slot, time_ = self.ax_src, self.ax_slot, self.ax_time
+            out_specs = (self._in_specs[0],
+                         (P(src, (slot, time_), None),) * 4)
+            f = jax.shard_map(
+                partial(self._local_step, with_track=True),
+                mesh=self.mesh, in_specs=self._in_specs,
+                out_specs=out_specs, check_vma=False)
+            self._step_debug = jax.jit(f, donate_argnums=(0,))
+        return self._step_debug(state, x, offsets_norm)
+
+    def _local_step(self, wire_state, x_loc, offs_loc,
+                    with_track: bool = False):
         from radiocapture_tpu.demod import fsk4 as _fsk4
         from radiocapture_tpu.ops.channelizer import XlatBankState
         from radiocapture_tpu.ops.fir import _phase_step_u32
@@ -300,8 +318,10 @@ class TimeShardedControlStep:
             phase=state.phase + step * jnp.uint32(n_l * n_time),
             fsk4=fs,
         )
-        return (self._wire.encode(new_state),
-                (syms, valid.astype(jnp.int32), dibits))
+        outs = (syms, valid.astype(jnp.int32), dibits)
+        if with_track:
+            outs = outs + (trk,)
+        return self._wire.encode(new_state), outs
 
 
 def time_sharded_fir(mesh: Mesh, axis: str, taps: jax.Array,

@@ -141,10 +141,19 @@ def test_time_sharded_control_step_matches_serial():
         xb = wide[i * block:(i + 1) * block]
         xf = np.stack([xb.real, xb.imag], -1).astype(np.float32)
         x = jnp.broadcast_to(jnp.asarray(xf), (n_src, block, 2))
-        st, (syms, valid, dibits) = tsh.step(st, x, offs)
-        ref_st, (rs, rv, rd) = pipe.step(ref_st, jnp.asarray(xf),
-                                         jnp.asarray(offs1))
+        st, (syms, valid, dibits, trk) = tsh.step_debug(st, x, offs)
+        ref_st, (rs, rv, rd, rtrk) = pipe.step_debug(
+            ref_st, jnp.asarray(xf), jnp.asarray(offs1))
         assert syms.shape == (n_src, 8, block // pipe.block_multiple)
+        # The claim in TimeShardedControlStep's docstring, asserted
+        # EXACTLY: the pre-scan channelized/discriminated/symbol-
+        # filtered stream is bit-identical to the streaming serial
+        # pipeline — ppermute halos + analytic uint32 mixer phase leave
+        # no seam. Only the chaotic tracking scan may diverge in float.
+        for s in range(n_src):
+            np.testing.assert_array_equal(
+                np.asarray(trk[s]), np.asarray(rtrk),
+                err_msg=f"pre-scan seam at block {i} source {s}")
         dibs.append(np.asarray(dibits[0]))
         vals.append(np.asarray(valid[0]))
         rdibs.append(np.asarray(rd))

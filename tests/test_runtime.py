@@ -230,7 +230,9 @@ def test_runtime_presence_and_quality(tmp_path, capture):
 
 
 def test_example_config_loads():
-    cfg = load_config("configs/config_example_file.py")
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs/config_example_file.py"))
     assert cfg.sources[0].samp_rate == 2.4e6
     assert cfg.systems[0].type == "p25"
     assert cfg.systems[0].control_channels == [857.5e6]
