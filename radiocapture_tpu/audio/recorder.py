@@ -115,7 +115,10 @@ class CallRecorder:
                 for n in names:
                     v = cdr.get(n)
                     if v:
-                        return int(v)
+                        # site_detail carries WACN/SysID as hex strings
+                        # (engines.py NET_STS handler, mirroring the
+                        # reference's hex() formatting)
+                        return int(v, 0) if isinstance(v, str) else int(v)
                 return 0
             self._tdma = TdmaVoiceReceiver(
                 _k("p25_nac", "nac"),
@@ -179,9 +182,20 @@ class CallRecorder:
         if self.closed:
             return
         if self._tdma is not None:
+            was_ended = self._tdma.ended
             if self._tdma.feed(np.asarray(dibits, np.uint8)):
                 self.activity()
             self.errors = float(self._tdma.errors)
+            if self._tdma.ended and not was_ended:
+                # MAC END_PTT/IDLE on our slot's SACCH is the Phase 2
+                # call termination — publish it in the same TLC shape
+                # the call manager's early-close path consumes (the
+                # reference's p25_sensor does this for Phase 1 TLC,
+                # logging_receiver.py:465-470).
+                self._publish_voice_raw(
+                    {"short": "TLC",
+                     "lc": {"lcf_long":
+                            "Call Termination / Cancellation"}})
             return
         if self._framer is None:
             return
@@ -209,11 +223,14 @@ class CallRecorder:
         """raw_voice event, same shape the call manager consumes
         (p25_call_manager.py:347-372; emitted by the reference's
         p25_sensor at logging_receiver.py:431-470)."""
+        self._publish_voice_raw({"short": fr.short, "lc": lc})
+
+    def _publish_voice_raw(self, packet: dict) -> None:
         self.bus.send_event_lazy(
             f"/topic/raw_voice/{self.instance_uuid}",
             {"instance_uuid": self.instance_uuid,
              "call_uuid": self.call_uuid,
-             "packet": {"short": fr.short, "lc": lc}})
+             "packet": packet})
 
     def _voice_codeword(self, vc: np.ndarray) -> None:
         self._imbe_frames.append(np.asarray(vc, np.uint8))

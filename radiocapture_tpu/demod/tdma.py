@@ -259,6 +259,15 @@ def _parse_payload(bits320: np.ndarray, seq: int) -> Burst:
 #: compare.  ≤2 keeps a ≥3-dibit margin to every whitened I-ISCH word.
 SYNC_TOLERANCE = 2
 
+#: trial-alignment trigger and hold cap: one superframe of burst pairs.
+#: Six pairs guarantee the held window covers the SACCH pair (bursts
+#: 10-11) under every phase hypothesis, and bound the unaligned hold so
+#: a stream whose I-ISCH never decodes can't grow memory without limit.
+TRIAL_PAIRS = SUPERFRAME_BURSTS // 2
+
+_VALID_MAC_OPS = frozenset(
+    (MAC_PTT, MAC_END_PTT, MAC_IDLE, MAC_ACTIVE, MAC_HANGTIME))
+
 
 class TdmaFramer:
     """Streaming S-ISCH sync search + I-ISCH alignment recovery +
@@ -269,7 +278,19 @@ class TdmaFramer:
     burst pairs that arrive before absolute alignment is known are held
     (not dropped): when a later I-ISCH decodes, pending pairs are
     descrambled retroactively at their now-known superframe positions
-    and emitted in order."""
+    and emitted in order.
+
+    **Trial-alignment fallback** (for the real-off-air case where the
+    standard's I-ISCH code table — conjectural in this build, see module
+    docstring — never decodes): once ``TRIAL_PAIRS`` pairs are held, all
+    six even-burst phase hypotheses are scored by descrambling the held
+    window at each hypothesis and checking the structure the standard
+    gives for free — a valid MAC opcode octet on *both* timeslots'
+    SACCH bursts (10-11).  The unique best hypothesis (score ≥ 2) locks
+    alignment and the held pairs emit retroactively; otherwise the
+    oldest pair is dropped (``dropped_unaligned``) so the hold stays
+    bounded at one superframe.  ``fallback_aligns`` counts locks won
+    this way; ``unaligned_pairs`` is the current hold depth."""
 
     def __init__(self, nac: int, sysid: int, wacn: int):
         self.key = L.keystream_dibits(nac, sysid, wacn)   # [2160]
@@ -278,6 +299,12 @@ class TdmaFramer:
         self._even_idx: int | None = None  # superframe index of buf[0]
         self._pending: list[np.ndarray] = []  # unaligned raw pairs
         self.errors = 0
+        self.fallback_aligns = 0      # alignments won by trial descramble
+        self.dropped_unaligned = 0    # pairs dropped at the hold cap
+
+    @property
+    def unaligned_pairs(self) -> int:
+        return len(self._pending)
 
     def feed(self, dibits: np.ndarray) -> list[Burst]:
         self._buf = np.concatenate(
@@ -323,9 +350,57 @@ class TdmaFramer:
                 # retroactive descramble once an I-ISCH decodes.
                 self._pending.append(pair.copy())
                 self._buf = self._buf[2 * BURST_DIBITS:]
+                if len(self._pending) >= TRIAL_PAIRS:
+                    base = self._trial_align()
+                    if base is not None:
+                        self.fallback_aligns += 1
+                        for j, held in enumerate(self._pending):
+                            out.extend(self._emit_pair(
+                                held,
+                                (base + 2 * j) % SUPERFRAME_BURSTS))
+                        # _even_idx holds the LAST emitted pair's even
+                        # seq; the next pair advances by 2 above.
+                        self._even_idx = (
+                            base + 2 * (len(self._pending) - 1)
+                        ) % SUPERFRAME_BURSTS
+                        self._pending.clear()
+                    else:
+                        self._pending.pop(0)
+                        self.dropped_unaligned += 1
                 continue
             out.extend(self._emit_pair(pair, self._even_idx))
             self._buf = self._buf[2 * BURST_DIBITS:]
+
+    def _trial_align(self) -> int | None:
+        """Score the six even-burst phase hypotheses against the held
+        window; return the winning base even-index or None.
+
+        Under hypothesis h the oldest held pair's even burst is
+        ``2h``; the pair that lands on (10, 11) is descrambled and both
+        timeslots' SACCH MAC opcode octets are checked against the
+        known vocabulary.  The correct phase yields 2 valid opcodes per
+        superframe; a wrong phase descrambles mid-keystream noise whose
+        first octet matches the 5-opcode vocabulary with p ≈ 2% per
+        burst — requiring score ≥ 2 *and* a unique maximum makes a
+        false lock vanishingly unlikely while one superframe of real
+        signal is enough to win."""
+        scores = [0] * (SUPERFRAME_BURSTS // 2)
+        for h in range(len(scores)):
+            for j, held in enumerate(self._pending):
+                e = (2 * h + 2 * j) % SUPERFRAME_BURSTS
+                for k in (0, 1):
+                    seq = e + k
+                    if BURST_SCHEDULE[seq] != BURST_SACCH:
+                        continue
+                    payload = held[k * BURST_DIBITS + N_ISCH:
+                                   (k + 1) * BURST_DIBITS]
+                    bits = self._descramble(payload, seq)
+                    if B.bits_to_int(bits[:8]) in _VALID_MAC_OPS:
+                        scores[h] += 1
+        best = max(scores)
+        if best >= 2 and scores.count(best) == 1:
+            return 2 * int(scores.index(best))
+        return None
 
     def _emit_pair(self, pair: np.ndarray, even_idx: int) -> list[Burst]:
         bursts = []
@@ -446,3 +521,11 @@ class TdmaVoiceReceiver:
     @property
     def errors(self) -> int:
         return self.framer.errors
+
+    @property
+    def fallback_aligns(self) -> int:
+        return self.framer.fallback_aligns
+
+    @property
+    def unaligned_pairs(self) -> int:
+        return self.framer.unaligned_pairs

@@ -178,6 +178,123 @@ def test_runtime_cqpsk_voice_routing(tmp_path):
     assert np.any(pcm != 0)
 
 
+def _tdma_capture(randomize_iisch: bool):
+    """Wideband capture: CQPSK control channel granting a Phase 2 TDMA
+    channel + the 6000 Bd H-DQPSK voice channel itself. The voice
+    stream carries real scrambled superframes: 3 with voice + ACTIVE
+    SACCH, then END_PTT SACCHs for MAC teardown."""
+    from radiocapture_tpu.demod import tdma as T
+    NAC, SYSID, WACN = 0x293, 0x2C1, 0xBEE00
+    iden = P.pack_tsbk("IDEN_UP_TDMA", **{
+        "Identifier": 1, "Channel Type": 3,   # 2-slot TDMA, 12.5 kHz
+        "Transmit Offset TDMA": 0, "Channel Spacing": 50,
+        "Base Frequency": int(VC / 5)})
+    net = P.pack_tsbk("NET_STS_BCST", **{
+        "LRA": 0, "WACN ID": WACN, "System ID": SYSID,
+        "Channel": 0x1000, "System Service Class": 0})
+    grant = P.pack_tsbk("GRP_V_CH_GRANT", last_block=True, **{
+        "Channel": 0x1000, "Group Address": 700, "Source Address": 44})
+    frames = [P.build_tsdu_frame(NAC, [iden]),
+              P.build_tsdu_frame(NAC, [net]),
+              P.build_tsdu_frame(NAC, [grant])] * 16
+    cc_iq = M.cqpsk_modulate(B.bits_to_dibits(np.concatenate(frames)),
+                             fs=25000.0)
+    cc_up = M.upsample_to(cc_iq, 25000.0, SAMP)
+
+    rng = np.random.default_rng(321)
+    v0 = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(54)]
+    sfs = []
+    for sf in range(5):
+        take = {0: v0[sf * 18:(sf + 1) * 18]}
+        mac = ({0: T.make_mac(T.MAC_END_PTT, tgid=700, source=44)}
+               if sf >= 3 else None)
+        sfs.append(T.build_superframe(NAC, SYSID, WACN, take, mac,
+                                      superframe=sf))
+    vc_dibits = np.concatenate(sfs)
+    if randomize_iisch:
+        from test_tdma import _randomize_iisch
+        vc_dibits = _randomize_iisch(vc_dibits)
+    vc_iq = M.upsample_to(
+        M.cqpsk_modulate(vc_dibits, fs=25000.0, symbol_rate=6000.0),
+        25000.0, SAMP)
+    n = max(len(cc_up), len(vc_iq))
+    capture = M.multi_channel(SAMP, [(CC - CENTER, cc_up),
+                                     (VC - CENTER, vc_iq)], n,
+                              noise_floor_db=-60.0)
+    return capture, v0
+
+
+@pytest.mark.parametrize("randomize_iisch", [False, True],
+                         ids=["iisch", "trial_fallback"])
+def test_runtime_cqpsk_tdma_iq_e2e(tmp_path, randomize_iisch):
+    """The full Phase 2 composition from IQ (r3 VERDICT weak #3): a
+    p25_cqpsk_tdma grant drives the 6000 Bd CQPSK pipeline into
+    TdmaVoiceReceiver inside SiteRuntime — symbol rate, slot selection,
+    scrambler seeding from the NET_STS site detail, descrambled voice
+    capture, and MAC END_PTT teardown all exercised together. The
+    trial_fallback variant randomizes the I-ISCH dibits (simulating the
+    real off-air signal whose standard I-ISCH code this build lacks)
+    and must still align via the trial-descramble fallback."""
+    capture, v0 = _tdma_capture(randomize_iisch)
+    cfg = _config(tmp_path)
+    cfg.systems[0].modulation = "CQPSK"
+    rt = SiteRuntime(cfg, {0: FileSource(capture)}, keep_wav=True)
+    rt.use_stream_clock()
+    completed = []
+    rt.bus.subscribe("/queue/call_management/call_complete",
+                     completed.append)
+    rec = None
+    try:
+        n_blocks = int(len(capture) // rt.block_len(0))
+        for _ in range(min(n_blocks, 60)):
+            rt.step()
+            if rt.recorders.active and rec is None:
+                (rec, _src, _slot, _bid, kind), = \
+                    rt.recorders.active.values()
+                assert kind == "cqpsk_tdma"
+                assert rec.cdr["modulation_type"] == "p25_cqpsk_tdma"
+                assert rec.cdr["slot"] == 0
+                # scrambler seeded from NET_STS via the CDR hex fields
+                assert rec._tdma.framer.key is not None
+            if completed:
+                break
+        assert rec is not None, "no recorder opened for the TDMA grant"
+    finally:
+        rt.close()
+    deadline = time.time() + 3.0
+    while not completed and time.time() < deadline:
+        time.sleep(0.05)
+    assert completed, "no call_complete event"
+    cdr = completed[0]["cdr"]
+    assert cdr["system_group_local"] == 700
+    assert cdr["modulation_type"] == "p25_cqpsk_tdma"
+    # MAC teardown: the recorder saw END_PTT on our slot's SACCH
+    assert rec._tdma.ended
+    assert rec._tdma.last_mac["name"] == "MAC_END_PTT"
+    assert rec._tdma.last_mac["tgid"] == 700
+    if randomize_iisch:
+        assert rec._tdma.fallback_aligns >= 1
+        assert rec._tdma.unaligned_pairs <= 6
+    else:
+        assert rec._tdma.fallback_aligns == 0
+    # descrambled voice codewords captured to the .vb sidecar and
+    # bit-identical to (a contiguous run of) what was transmitted
+    vb = rec.filename[:-4] + ".vb"
+    assert os.path.exists(vb)
+    got = np.unpackbits(np.fromfile(vb, np.uint8))
+    n_frames = len(got) // 72
+    assert n_frames >= 18, f"only {n_frames} voice codewords captured"
+    sent = np.concatenate(v0)
+    first = got[:72]
+    starts = [i for i in range(54) if np.array_equal(
+        sent[i * 72:(i + 1) * 72], first)]
+    assert starts, "captured voice not found in transmitted stream"
+    s = starts[0]
+    np.testing.assert_array_equal(
+        got[:len(sent) - s * 72][:n_frames * 72],
+        sent[s * 72:s * 72 + n_frames * 72])
+
+
 def test_runtime_afc_converges(tmp_path):
     """Closed AFC loop (reference p25_control_demod.py:564-581 →
     rc_frontend/receiver.py:436-475): a source LO error shifts every

@@ -201,6 +201,89 @@ def test_iisch_code_properties():
     assert T.isch_decode(B.bits_to_dibits(bits)) == (1, 2, 1, 9)
 
 
+def _randomize_iisch(stream, lead=0, seed=7):
+    """Overwrite every odd burst's I-ISCH with junk that neither
+    decodes against the conjectural codebook nor matches the sync —
+    simulating a real off-air signal whose standard I-ISCH code this
+    build does not know."""
+    rng = np.random.default_rng(seed)
+    s = np.asarray(stream).copy()
+    n_sf = (len(s) - lead) // T.SUPERFRAME_DIBITS
+    for sf in range(n_sf):
+        for i in range(1, 12, 2):
+            off = lead + sf * T.SUPERFRAME_DIBITS + i * T.BURST_DIBITS
+            while True:
+                junk = rng.integers(0, 4, T.N_ISCH).astype(np.uint8)
+                if (T.isch_decode(junk) is None and
+                        int((junk != T.SYNC_DIBITS).sum())
+                        > T.SYNC_TOLERANCE):
+                    break
+            s[off:off + T.N_ISCH] = junk
+    return s
+
+
+def test_trial_alignment_without_iisch():
+    """The real-off-air case: the standard's I-ISCH code never decodes
+    against this build's conjectural codebook, so alignment must come
+    from the trial-descramble fallback (SACCH MAC structure). All voice
+    must still come out, in order."""
+    v0, v1 = _mk_voice(36, 11), _mk_voice(36, 12)
+    stream = _randomize_iisch(T.build_tdma_stream(
+        NAC, SYSID, WACN, {0: v0, 1: v1}, n_superframes=2,
+        lead_dibits=23), lead=23)
+    fr = T.TdmaFramer(NAC, SYSID, WACN)
+    got = []
+    for i in range(0, len(stream), 97):   # awkward chunks
+        got.extend(fr.feed(stream[i:i + 97]))
+    assert fr.fallback_aligns == 1
+    assert fr.unaligned_pairs == 0
+    assert fr.dropped_unaligned == 0
+    assert len(got) == 24                 # both superframes, all bursts
+    rx = {0: [], 1: []}
+    for b in got:
+        assert b.kind == T.BURST_SCHEDULE[b.seq]
+        rx[b.slot].extend(b.voice)
+    for chn, sent in ((0, v0), (1, v1)):
+        assert len(rx[chn]) == 36
+        for a, b in zip(sent, rx[chn]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_trial_alignment_mid_superframe_join():
+    """Fallback alignment joining mid-superframe: the winning phase
+    hypothesis must be the true one, not just burst-0."""
+    v0 = _mk_voice(54, 13)
+    stream = _randomize_iisch(T.build_tdma_stream(
+        NAC, SYSID, WACN, {0: v0}, n_superframes=3, lead_dibits=0))
+    stream = stream[4 * T.BURST_DIBITS:]    # join at burst 4
+    fr = T.TdmaFramer(NAC, SYSID, WACN)
+    got = fr.feed(stream)
+    assert fr.fallback_aligns == 1
+    assert got and got[0].seq == 4
+    rx0 = [vc for b in got if b.slot == 0 for vc in b.voice]
+    expect = v0[8:54]
+    assert len(rx0) == len(expect)
+    for a, b in zip(expect, rx0):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_unaligned_hold_is_bounded():
+    """When neither the I-ISCH nor the SACCH structure is decodable
+    (wrong keystream: nothing descrambles to valid MAC opcodes), the
+    framer must not hold pairs without bound — r3 VERDICT weak #2."""
+    v0 = _mk_voice(72, 14)
+    # stream scrambled under a DIFFERENT system key -> our descramble
+    # never yields valid MAC opcodes; I-ISCH randomized too
+    stream = _randomize_iisch(T.build_tdma_stream(
+        0x123, 0x055, 0x11111, {0: v0}, n_superframes=4, lead_dibits=0))
+    fr = T.TdmaFramer(NAC, SYSID, WACN)
+    got = fr.feed(stream)
+    assert got == []                       # nothing falsely aligned
+    assert fr.fallback_aligns == 0
+    assert fr.unaligned_pairs <= T.TRIAL_PAIRS
+    assert fr.dropped_unaligned >= 24 - T.TRIAL_PAIRS - 1
+
+
 def test_recorder_tdma_call_writes_vb_sidecar(tmp_path):
     v0 = _mk_voice(18, 8)
     stream = T.build_tdma_stream(NAC, SYSID, WACN, {0: v0})
