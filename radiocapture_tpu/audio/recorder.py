@@ -103,7 +103,14 @@ class CallRecorder:
         self._slot = int(cdr.get("slot", 0) or 0)
         self._framer = None
         self._tdma = None
-        if self.modulation in TDMA_MODS:
+        self._provoice = None
+        if self.modulation == "provoice":
+            # EDACS digital voice: sync + codeword extraction on the
+            # 9600 Bd bit stream (demod.provoice; the reference shells
+            # out to DSD here, logging_receiver.py:334-351).
+            from radiocapture_tpu.demod.provoice import ProVoiceReceiver
+            self._provoice = ProVoiceReceiver()
+        elif self.modulation in TDMA_MODS:
             # Phase 2: slot-selective burst receiver with the scrambler
             # seeded from the call's (NAC, SYSID, WACN). CDR keys follow
             # the reference's wire format (p25_call_manager.py:212-214:
@@ -180,6 +187,11 @@ class CallRecorder:
     # ---- P25 digital path ----
     def feed_dibits(self, dibits: np.ndarray) -> None:
         if self.closed:
+            return
+        if self._provoice is not None:
+            if self._provoice.feed(np.asarray(dibits, np.uint8)):
+                self.activity()
+            self.errors = float(self._provoice.sync_losses)
             return
         if self._tdma is not None:
             was_ended = self._tdma.ended
@@ -258,6 +270,19 @@ class CallRecorder:
                 sidecar = self.filename[:-4] + ".imbe"
                 np.packbits(np.concatenate(self._imbe_frames)).tofile(
                     sidecar)
+        if self._provoice is not None:
+            # IMBE 7100x4400 synthesis is out of scope (the native
+            # vocoder is 7200x4400); structured codewords + counts keep
+            # the recording's evidentiary value.
+            self.cdr["provoice_superframes"] = self._provoice.superframes
+            self.cdr["provoice_codewords"] = len(
+                self._provoice.voice_frames)
+            self.cdr["provoice_variant"] = self._provoice.variant
+            self.cdr["errors"] = self.errors
+            if self._provoice.voice_frames:
+                sidecar = self.filename[:-4] + ".pv"
+                np.packbits(np.concatenate(
+                    self._provoice.voice_frames)).tofile(sidecar)
         if self._tdma is not None and self._tdma.voice_frames:
             # AMBE+2 audio decode is out of scope (imbe.h); keep the raw
             # voice codewords so the recording retains evidentiary value.
