@@ -523,6 +523,33 @@ class FileSource:
         return out if len(out) == n else None
 
 
+def providers_from_config(cfg: RcConfig) -> tuple[dict, list]:
+    """Block providers for every configured source.
+
+    ``file`` sources replay captures; ``rtlsdr`` sources stream live
+    dongles over the rtl_tcp wire protocol into the native ingest ring
+    (frontend/rtl_tcp.py — the reference's osmosdr ``rtl=N`` path,
+    rc_frontend/receiver.py:170-204). Returns (providers, sources);
+    callers own stopping the returned live source objects."""
+    providers: dict = {}
+    live: list = []
+    for idx, src in cfg.sources.items():
+        if src.type == "file":
+            providers[idx] = FileSource(src.args)
+        elif src.type == "rtlsdr":
+            from radiocapture_tpu.frontend.rtl_tcp import \
+                source_for_config
+            s = source_for_config(src, idx)
+            live.append(s)
+            providers[idx] = s.provider()
+        else:
+            raise ValueError(
+                f"source {idx}: no ingest path for type {src.type!r} "
+                "(file and rtlsdr are wired; usrp/bladerf need a "
+                "driver host feeding UdpFeed or IngestRing directly)")
+    return providers, live
+
+
 def main(argv=None):
     import argparse
     from radiocapture_tpu.rxconfig import load_config
@@ -540,18 +567,16 @@ def main(argv=None):
     else:
         logging.basicConfig(level=logging.INFO)
     cfg = load_config(args.config)
-    providers = {}
-    for idx, src in cfg.sources.items():
-        if src.type != "file":
-            raise SystemExit("CLI runtime supports file sources; wire "
-                             "hardware ingest via SiteRuntime directly")
-        providers[idx] = FileSource(src.args)
+    providers, live = providers_from_config(cfg)
     rt = SiteRuntime(cfg, providers)
-    rt.use_stream_clock()    # offline decode: load-independent timing
+    if not live:
+        rt.use_stream_clock()   # offline decode: load-independent timing
     try:
         rt.run(n_blocks=args.blocks, duration_s=args.duration)
     finally:
         rt.close()
+        for s in live:
+            s.stop()
 
 
 if __name__ == "__main__":
