@@ -322,9 +322,64 @@ class RedisBus:
             c.close()
 
 
-def make_bus(redis_servers: list[dict] | None = None):
-    """RedisBus when servers are configured (connections are lazy with
-    reconnect, so a not-yet-up broker is fine); else InProcBus."""
-    if redis_servers:
-        return RedisBus(redis_servers)
-    return InProcBus()
+class DualBus:
+    """The reference's actual broker topology: Redis pub/sub for the
+    lossy ``/topic/*`` firehose AND ActiveMQ/STOMP for the durable
+    ``/queue/*`` tier — every reference process takes *both* clients
+    (call_recorder.py:81-108 passes client_redis and client_activemq
+    side by side). Routes by destination prefix; ``send_event_hopeful``
+    always goes to the durable broker."""
+
+    def __init__(self, lazy_bus, durable_bus):
+        self.lazy = lazy_bus
+        self.durable = durable_bus
+
+    @staticmethod
+    def _is_queue(dest: str) -> bool:
+        return dest.startswith("/queue/") or dest.startswith("queue:")
+
+    def send_event_lazy(self, dest, body, headers=None):
+        (self.durable if self._is_queue(dest) else self.lazy) \
+            .send_event_lazy(dest, body, headers)
+
+    def send_event_hopeful(self, dest, body, headers=None):
+        self.durable.send_event_hopeful(dest, body, headers)
+
+    def subscribe(self, dest, callback):
+        (self.durable if self._is_queue(dest) else self.lazy) \
+            .subscribe(dest, callback)
+
+    def unsubscribe(self, dest, callback=None):
+        (self.durable if self._is_queue(dest) else self.lazy) \
+            .unsubscribe(dest, callback)
+
+    def flush(self, timeout: float = 5.0) -> bool:
+        ok = True
+        for b in (self.lazy, self.durable):
+            if hasattr(b, "flush"):
+                ok = b.flush(timeout) and ok
+        return ok
+
+    @property
+    def connection_issue(self) -> bool:
+        return bool(getattr(self.lazy, "connection_issue", False)
+                    or getattr(self.durable, "connection_issue", False))
+
+    def close(self):
+        self.lazy.close()
+        self.durable.close()
+
+
+def make_bus(redis_servers: list[dict] | None = None,
+             activemq: dict | None = None):
+    """Broker topology from config: Redis topics + optional STOMP
+    durable tier (the reference's dual-client layout); InProcBus when
+    nothing is configured. Connections are lazy with reconnect, so
+    not-yet-up brokers are fine."""
+    lazy = RedisBus(redis_servers) if redis_servers else InProcBus()
+    if activemq:
+        from radiocapture_tpu.control.stomp import StompBus
+        durable = StompBus(activemq.get("host", "localhost"),
+                           activemq.get("port", 61613))
+        return DualBus(lazy, durable)
+    return lazy

@@ -171,8 +171,10 @@ class SiteRuntime:
         self.cfg = cfg
         self.now = now_fn or time.time
         self._deterministic = False
-        self.bus = bus or (make_bus(cfg.redis_servers)
-                           if cfg.redis_servers else InProcBus())
+        self.bus = bus or (
+            make_bus(cfg.redis_servers, getattr(cfg, "activemq", None))
+            if (cfg.redis_servers or getattr(cfg, "activemq", None))
+            else InProcBus())
         self.store = store or PresenceStore()
         self.providers = iq_providers
         if cfg.receiver_split2:

@@ -72,6 +72,7 @@ class RcConfig:
     frontend_mode: str = "xlat"   # 'xlat' | 'pfb' (rc_frontend/receiver.py:242)
     receiver_split2: bool = False
     redis_servers: list = field(default_factory=list)  # [{host, port}]
+    activemq: dict | None = None  # {host, port}: STOMP durable tier
     site_uuid: str = field(default_factory=lambda: str(_uuid.uuid4()))
     blacklists: dict = field(default_factory=dict)
     scan_mode: bool = False
@@ -90,8 +91,8 @@ class RcConfig:
             cfg.systems[idx] = (s if isinstance(s, SystemConfig)
                                 else SystemConfig(**s))
         for k in ("frontend_mode", "receiver_split2", "redis_servers",
-                  "site_uuid", "blacklists", "scan_mode", "audio_dir",
-                  "num_slots_per_source", "block_seconds"):
+                  "activemq", "site_uuid", "blacklists", "scan_mode",
+                  "audio_dir", "num_slots_per_source", "block_seconds"):
             if k in d:
                 setattr(cfg, k, d[k])
         return cfg

@@ -1,0 +1,193 @@
+"""STOMP 1.2 durable-tier adapter: frame codec, client, StompBus, mini
+broker — the reference's ActiveMQ wire contract (client_activemq.py:
+104-169: JSON bodies, persistent + time_queued/time_sent headers,
+auto-ack uuid subscriptions)."""
+
+import json
+import time
+
+import pytest
+
+from radiocapture_tpu.control import stomp as S
+
+
+@pytest.fixture()
+def broker():
+    srv = S.MiniStompServer()
+    yield srv
+    srv.close()
+
+
+def _wait(cond, timeout=5.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if cond():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+# -------------------------------------------------------------- codec
+def test_frame_codec_roundtrip():
+    body = json.dumps({"cdr": {"x": 1}}).encode()
+    raw = S.encode_frame("SEND", {
+        "destination": "/queue/call_management/call_complete",
+        "persistent": "true", "weird": "a:b\nc\\d"}, body)
+    (cmd, headers, got), pos = S.parse_frame(raw, 0)
+    assert pos == len(raw)
+    assert cmd == "SEND"
+    assert headers["destination"] == \
+        "/queue/call_management/call_complete"
+    assert headers["persistent"] == "true"
+    assert headers["weird"] == "a:b\nc\\d"       # 1.2 header escaping
+    assert int(headers["content-length"]) == len(body)
+    assert got == body
+
+
+def test_frame_parse_is_resumable():
+    raw = S.encode_frame("MESSAGE", {"destination": "/topic/t"},
+                         b"hello")
+    for cut in (1, 5, len(raw) - 2):
+        with pytest.raises(S._Incomplete):
+            S.parse_frame(raw[:cut], 0)
+    # two frames back to back with heart-beat EOLs between
+    buf = raw + b"\n\n" + raw
+    (c1, _, b1), pos = S.parse_frame(buf, 0)
+    (c2, _, b2), pos2 = S.parse_frame(buf, pos)
+    assert (c1, b1) == ("MESSAGE", b"hello")
+    assert (c2, b2) == ("MESSAGE", b"hello") and pos2 == len(buf)
+
+
+# ------------------------------------------------------------- client
+def test_client_connect_send_subscribe(broker):
+    c = S.StompClient(broker.host, broker.port)
+    assert c.wait_connected()
+    got = []
+    c.subscribe("/topic/raw_control/abc",
+                lambda h, b: got.append((h, b)))
+    c2 = S.StompClient(broker.host, broker.port)
+    assert c2.wait_connected()
+    time.sleep(0.1)      # let the SUBSCRIBE land
+    c2.send("/topic/raw_control/abc", b'{"n":1}', {"persistent": "false"})
+    assert _wait(lambda: got)
+    headers, body = got[0]
+    assert json.loads(body) == {"n": 1}
+    assert headers["subscription"]
+    assert headers["message-id"]
+    c.close()
+    c2.close()
+
+
+def test_queue_retains_persistent_until_consumer(broker):
+    """The ActiveMQ property the durable tier depends on: a persistent
+    SEND to a /queue/ with no consumer is retained, then delivered when
+    one subscribes (the reference's external uploader consumes
+    call_complete whenever it comes up)."""
+    c = S.StompClient(broker.host, broker.port)
+    assert c.wait_connected()
+    c.send("/queue/call_management/call_complete",
+           json.dumps({"cdr": {"id": 7}}),
+           {"persistent": "true"})
+    assert _wait(lambda: broker.queued(
+        "/queue/call_management/call_complete"))
+    got = []
+    c.subscribe("/queue/call_management/call_complete",
+                lambda h, b: got.append(json.loads(b)))
+    assert _wait(lambda: got)
+    assert got[0]["cdr"]["id"] == 7
+    c.close()
+
+
+def test_client_reconnects_and_resubscribes(broker):
+    c = S.StompClient(broker.host, broker.port, reconnect_s=0.05)
+    assert c.wait_connected()
+    got = []
+    c.subscribe("/topic/x", lambda h, b: got.append(b))
+    time.sleep(0.1)
+    broker.drop_connections()
+    assert _wait(lambda: c.connects >= 2), "no reconnect"
+    assert _wait(lambda: any(
+        f[0] == "SUBSCRIBE" and f[1].get("destination") == "/topic/x"
+        for f in broker.frames[-4:]))
+    p = S.StompClient(broker.host, broker.port)
+    assert p.wait_connected()
+    time.sleep(0.1)
+    p.send("/topic/x", b"after")
+    assert _wait(lambda: b"after" in got)
+    c.close()
+    p.close()
+
+
+# ---------------------------------------------------------------- bus
+def test_stompbus_cdr_roundtrip_with_reference_headers(broker):
+    """The VERDICT r3 'done' bar: a CDR round-trips the mini broker
+    through the Bus API with persistent + latency headers on the
+    wire."""
+    bus = S.StompBus(broker.host, broker.port)
+    assert bus.client.wait_connected()
+    got = []
+    bus.subscribe("/queue/call_management/call_complete", got.append)
+    time.sleep(0.1)
+    cdr = {"call_uuid": "u1", "system_group_local": 500,
+           "modulation_type": "p25"}
+    bus.send_event_hopeful("/queue/call_management/call_complete",
+                           {"cdr": cdr, "filename": "a.mp3"})
+    assert bus.flush(timeout=5.0)
+    assert _wait(lambda: got)
+    assert got[0]["cdr"] == cdr
+    # wire headers match the reference contract
+    sends = [h for cmd, h in broker.frames if cmd == "SEND"]
+    assert sends
+    h = sends[-1]
+    assert h["persistent"] == "true"
+    assert float(h["time_sent"]) >= float(h["time_queued"])
+    bus.close()
+
+
+def test_dualbus_routes_topics_to_redis_queues_to_stomp(broker):
+    """The reference's dual-client topology (call_recorder.py:81-108):
+    /topic/* rides Redis pub/sub, /queue/* + hopeful tier ride STOMP."""
+    from radiocapture_tpu.control.bus import make_bus
+    from radiocapture_tpu.control.resp import MiniRedisServer
+
+    redis = MiniRedisServer()
+    bus = make_bus([{"host": redis.host, "port": redis.port}],
+                   {"host": broker.host, "port": broker.port})
+    try:
+        assert bus.durable.client.wait_connected()
+        topics, queues = [], []
+        bus.subscribe("/topic/raw_control/*", topics.append)
+        bus.subscribe("/queue/call_management/call_complete",
+                      queues.append)
+        _wait(lambda: redis._subs)        # psubscribe landed
+        time.sleep(0.1)
+        bus.send_event_lazy("/topic/raw_control/abc", {"tsbk": 1})
+        bus.send_event_hopeful("/queue/call_management/call_complete",
+                               {"cdr": {"q": 2}})
+        assert bus.flush()
+        assert _wait(lambda: topics and queues)
+        assert topics[0]["tsbk"] == 1
+        assert queues[0]["cdr"]["q"] == 2
+        # the durable copy crossed the STOMP wire, not Redis
+        sends = [h for cmd, h in broker.frames if cmd == "SEND"]
+        assert any(h["destination"] ==
+                   "/queue/call_management/call_complete"
+                   and h["persistent"] == "true" for h in sends)
+    finally:
+        bus.close()
+        redis.close()
+
+
+def test_stompbus_hopeful_survives_broker_bounce(broker):
+    bus = S.StompBus(broker.host, broker.port, retry_s=0.05)
+    assert bus.client.wait_connected()
+    broker.drop_connections()
+    bus.send_event_hopeful("/queue/q", {"seq": 1})
+    bus.send_event_lazy("/queue/q", {"lazy": True})   # dropped, no error
+    assert _wait(lambda: bus.client.connects >= 2)
+    assert bus.flush(timeout=5.0), "hopeful did not drain after bounce"
+    assert _wait(lambda: broker.queued("/queue/q"))
+    items = broker.queued("/queue/q")
+    assert len(items) == 1
+    assert json.loads(items[0][1])["seq"] == 1
+    bus.close()
