@@ -201,10 +201,16 @@ def test_redis_presence_store(server):
 
 
 # -------------------------------------------- two-process smoke
-def _site_proc(host, port, site_idx, ready, stop):
+def _site_proc(host, port, site_idx, ready, stop, go=None):
     """One capture site in its own OS process: SiteRuntime with a P25
     control channel fixture, publishing raw_control to the shared
-    RedisBus and presence to the shared RedisPresenceStore."""
+    RedisBus and presence to the shared RedisPresenceStore.
+
+    With ``go`` set, the site warms up its jit pipelines on zero-signal
+    blocks first, signals ``ready``, then holds the real capture until
+    the shared ``go`` event fires — removing compile skew so both sites
+    emit their first grant near-simultaneously (the production 1 s
+    merge-window test)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     from radiocapture_tpu.fec import bits as B
@@ -242,32 +248,38 @@ def _site_proc(host, port, site_idx, ready, stop):
     servers = [{"host": host, "port": port}]
     from radiocapture_tpu.control.bus import RedisBus as RB
     from radiocapture_tpu.control.presence import RedisPresenceStore as RPS
-    rt = SiteRuntime(cfg, {0: FileSource(capture)},
+    src = FileSource(capture)
+    gate = {"open": go is None}
+
+    def provider(n):
+        return src(n) if gate["open"] else np.zeros(n, np.complex64)
+
+    rt = SiteRuntime(cfg, {0: provider},
                      bus=RB(servers), store=RPS(servers))
     try:
+        if go is not None:
+            for _ in range(3):       # compile all jit pipelines on zeros
+                rt.step()
         ready.set()
+        if go is not None:
+            go.wait(timeout=300)
+            gate["open"] = True
         while not stop.is_set():
             rt.step()
     finally:
         rt.close()
 
 
-@pytest.mark.slow
-def test_two_process_sites_merge_one_call(server):
-    """Two SiteRuntime OS processes + a backend call-manager process
-    model (run in the test process): presence discovers both demod
-    instances, the shared P25 call manager receives both sites' grants
-    for the same (group, user) and merges them into ONE system-wide
-    call_uuid with two instance-local entries
-    (p25_call_manager.py:128-164)."""
+def _run_merge_smoke(server, sync: bool, merge_window_s: float):
     from radiocapture_tpu.control.call_manager import P25CallManager
 
     ctx = mp.get_context("spawn")
     stop = ctx.Event()
+    go = ctx.Event() if sync else None
     readies = [ctx.Event(), ctx.Event()]
     procs = [ctx.Process(target=_site_proc,
                          args=(server.host, server.port, i, readies[i],
-                               stop), daemon=True)
+                               stop, go), daemon=True)
              for i in (0, 1)]
     for p in procs:
         p.start()
@@ -279,12 +291,9 @@ def test_two_process_sites_merge_one_call(server):
         bus = RedisBus(_servers(server))
         records: dict[str, dict] = {}
         cm = P25CallManager(bus, lambda u: records.get(u))
-        # The two sites free-run (independent jit-compile skew), so the
-        # production 1 s open-coincidence window can't be hit
-        # deterministically; widen it — the window logic itself is
-        # precision-tested in-process (test_control_plane), this smoke
-        # verifies the distributed plumbing end to end.
-        cm.merge_window_s = 600.0
+        cm.merge_window_s = merge_window_s
+        if go is not None:
+            go.set()      # both warmed-up sites start the capture NOW
 
         def on_new(dtype, uid, rec):
             records[uid] = rec
@@ -314,7 +323,32 @@ def test_two_process_sites_merge_one_call(server):
         bus.close()
     finally:
         stop.set()
+        if go is not None:
+            go.set()      # never leave a site blocked on the gate
         for p in procs:
             p.join(timeout=30)
             if p.is_alive():
                 p.terminate()
+
+
+@pytest.mark.slow
+def test_two_process_sites_merge_one_call(server):
+    """Two SiteRuntime OS processes + a backend call-manager process
+    model (run in the test process): presence discovers both demod
+    instances, the shared P25 call manager receives both sites' grants
+    for the same (group, user) and merges them into ONE system-wide
+    call_uuid with two instance-local entries
+    (p25_call_manager.py:128-164). Free-running variant: jit-compile
+    skew makes first-grant timing nondeterministic, so the window is
+    widened — the plumbing is the subject here."""
+    _run_merge_smoke(server, sync=False, merge_window_s=600.0)
+
+
+@pytest.mark.slow
+def test_two_process_sites_merge_production_window(server):
+    """The PRODUCTION 1 s open-coincidence window exercised across a
+    real process boundary: both sites pre-compile on zero-signal
+    blocks, then a shared Event releases the capture simultaneously, so
+    their grants reach the shared call manager within the reference's
+    1 s merge window (p25_call_manager.py:150-164)."""
+    _run_merge_smoke(server, sync=True, merge_window_s=1.0)
