@@ -1,5 +1,6 @@
-"""Ops tools: audio GC/migration and the terminal spectrum scope
-(reference audio/cleanup.sh, migrate-audio.sh, util/diag_scope.py)."""
+"""Ops tools: audio GC/migration, the terminal spectrum scope, and the
+clock-drift estimator (reference audio/cleanup.sh, migrate-audio.sh,
+util/diag_scope.py, util/measure_drift*.sh)."""
 
 import os
 import time
@@ -105,3 +106,43 @@ def test_uploader_bus_and_spool(tmp_path):
     assert n == 1
     assert (dest / "2026/8/18/7/inst/42/def.mp3").exists()
     assert not mp3b.exists()
+
+
+def test_measure_drift_recovers_ppm_and_slope(tmp_path, capsys):
+    """A receiver clock running +2.5 ppm fast with a linear drift makes
+    a known carrier appear low by carrier*ppm; the estimator must
+    recover both the mean ppm and the drift rate."""
+    import json
+
+    import numpy as np
+
+    from radiocapture_tpu.tools import measure_drift as D
+
+    fs = 250e3
+    center = 857.0e6
+    carrier = 857.05e6
+    dur = 8.0
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    ppm0, ppm_per_hr = 2.5, 30.0
+    ppm_t = ppm0 + ppm_per_hr * t / 3600.0
+    # apparent baseband offset of the carrier under a fast clock:
+    # f_app - f_nom = -carrier*ppm(t)/1e6 (integrate for phase)
+    f_err = -carrier * ppm_t / 1e6
+    phase = 2 * np.pi * np.cumsum((carrier - center + f_err) / fs)
+    iq = (0.5 * np.exp(1j * phase)).astype(np.complex64)
+    r = D.measure_drift(iq, fs, carrier - center, carrier,
+                        window_s=1.0)
+    assert abs(r["ppm"] - ppm0) < 0.05, r["ppm"]
+    assert abs(r["ppm_drift_per_hour"] - ppm_per_hr) < 6.0
+    # CLI + telegraf form
+    p = tmp_path / "cap.cf32"
+    iq.tofile(p)
+    D.main([str(p), "--samp-rate", str(fs), "--center", str(center),
+            "--carrier", str(carrier)])
+    out = json.loads(capsys.readouterr().out)
+    assert abs(out["ppm"] - ppm0) < 0.05
+    D.main([str(p), "--samp-rate", str(fs), "--center", str(center),
+            "--carrier", str(carrier), "--telegraf", "--device", "d7"])
+    line = capsys.readouterr().out.strip()
+    assert line.startswith("sdr_drift,device=d7 ppm=")
