@@ -25,11 +25,11 @@ def main():
 
     # 128 sources x 2.4 MS/s = 307 MS/s per step-call batch; 64 slots
     # each (8192 concurrent control/voice channels), 100 ms blocks.
-    # Measured on v5e (r3 kernel: halo side-array + bf16 rows +
-    # transpose-outside + half-channel-transition taps): 64 srcs
-    # 1210 MS/s @ 12.7 ms, 96 srcs 1335 @ 17.3 ms, 128 srcs 1480 @
-    # 20.8 ms, 192 srcs collapses to 684 (HBM working-set spill).
-    # 128 keeps ~5x real-time block latency headroom at peak agg.
+    # Measured on v5e (r4 kernel: r3's halo side-array + bf16 rows +
+    # external transpose, plus bf16 plane outputs): ~1.38-1.56 GS/s
+    # depending on tunnel load — single samples land anywhere in that
+    # range (PERF.md §0). 192 srcs collapses to ~684 (HBM working-set
+    # spill); 128 keeps ~5x real-time block latency headroom.
     n_sources = 128
     samp_rate = 2.4e6
     num_slots = 64

@@ -85,6 +85,7 @@ def _farrow_coeffs(degree: int = 4) -> np.ndarray:
 
 
 _FARROW = _farrow_coeffs()
+_FARROW3 = _farrow_coeffs(3)   # see fsk4_demod(farrow_degree=3)
 
 
 class Fsk4State(NamedTuple):
@@ -105,6 +106,8 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
                symbol_rate: float, levels: tuple = (-3.0, -1.0, 1.0, 3.0),
                k_fine_freq: float = K_FINE_FREQ,
                k_timing: float = K_TIMING,
+               farrow_degree: int = 4,
+               track_dtype=None,
                ) -> tuple[Fsk4State, tuple[jax.Array, jax.Array]]:
     """Track and sample symbols from a block.
 
@@ -119,7 +122,14 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
     (edacs_control_demod.py:85, moto_control_demod.py:113).
     """
     step = jnp.float32(symbol_rate / samp_rate)
-    levels = jnp.asarray(np.asarray(levels, np.float32))
+    lv = np.asarray(levels, np.float32)
+    # Uniformly spaced alphabets (all of C4FM/EDACS/Moto) decide the
+    # nearest level arithmetically — ~6 VPU ops vs ~15 for the
+    # distance/argmin form, identical result away from the measure-zero
+    # midpoint ties.
+    spacing = np.diff(lv)
+    uniform = len(lv) > 1 and np.allclose(spacing, spacing[0])
+    levels = jnp.asarray(lv)
     K_FF = jnp.float32(k_fine_freq)
     K_T = jnp.float32(k_timing)
     batch = x.shape[:-1]
@@ -127,7 +137,17 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
     # body op broadcasts over the *minor* batch dims — the tap axis stays
     # major and each vector op runs the full lane width (a [..., HIST]
     # minor tap axis pads 8 values into 128 lanes).
-    cf = jnp.asarray(_FARROW).reshape(_FARROW.shape + (1,) * len(batch))
+    far = {4: _FARROW, 3: _FARROW3}.get(farrow_degree)
+    if far is None:
+        far = _farrow_coeffs(farrow_degree)
+    cf = jnp.asarray(far).reshape(far.shape + (1,) * len(batch))
+    # The scan body is VMEM-bandwidth-bound on its [2·HIST, ...batch]
+    # intermediates (PERF.md §6); track_dtype=bfloat16 halves that
+    # traffic. Interp products round at ~2^-9 of the ±4 symbol span —
+    # far under the half-level slicer margin — while the loop carries
+    # (clock/ff) and the emitted y stay float32.
+    tdt = track_dtype or jnp.float32
+    cf = cf.astype(tdt)
 
     def sample_body(carry, xn):
         clock, ff, hist = carry              # hist: [HIST, ...batch]
@@ -141,13 +161,20 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
         frac = jnp.clip(clockw / step, 0.0, 0.999)
         # Horner evaluation of the 2·HIST interpolator taps at frac.
         tt = cf[0]
+        fr = frac.astype(tdt)
         for j in range(1, cf.shape[0]):
-            tt = tt * frac[None] + cf[j]     # [2·HIST, ...batch]
-        y = jnp.sum(hist * tt[:HIST], axis=0)
-        dy = jnp.sum(hist * tt[HIST:], axis=0)
+            tt = tt * fr[None] + cf[j]       # [2·HIST, ...batch]
+        h = hist.astype(tdt)
+        y = jnp.sum(h * tt[:HIST], axis=0, dtype=jnp.float32)
+        dy = jnp.sum(h * tt[HIST:], axis=0, dtype=jnp.float32)
         # Decision-directed error vs nearest C4FM level.
-        dist = jnp.abs(y[..., None] - levels)
-        dec = levels[jnp.argmin(dist, axis=-1)]
+        if uniform:
+            s0, lo = jnp.float32(spacing[0]), jnp.float32(lv[0])
+            idx = jnp.clip(jnp.round((y - lo) / s0), 0.0, len(lv) - 1)
+            dec = lo + s0 * idx
+        else:
+            dist = jnp.abs(y[..., None] - levels)
+            dec = levels[jnp.argmin(dist, axis=-1)]
         err = y - dec
         ff = jnp.where(emit, ff + K_FF * err, ff)
         clockw = jnp.where(
@@ -176,6 +203,99 @@ def fsk4_demod(state: Fsk4State, x: jax.Array, samp_rate: float,
     ys = ys.reshape((n,) + ys.shape[2:])
     emits = emits.reshape((n,) + emits.shape[2:])
     return new_state, (jnp.moveaxis(ys, 0, -1), jnp.moveaxis(emits, 0, -1))
+
+
+def fsk4_demod_block(state: Fsk4State, x: jax.Array, samp_rate: float,
+                     symbol_rate: float,
+                     levels: tuple = (-3.0, -1.0, 1.0, 3.0),
+                     k_fine_freq: float = K_FINE_FREQ,
+                     k_timing: float = K_TIMING,
+                     block: int = 10,
+                     ) -> tuple[Fsk4State, tuple[jax.Array, jax.Array]]:
+    """Block-feedback variant of :func:`fsk4_demod`.
+
+    The sample-stepped scan is latency-bound: its per-sample body is a
+    ~15-op serial dependency chain (ff → hist → interp → err → ff), so
+    1250 samples cost 1250 chain latencies regardless of lane count
+    (measured 6.9 ms at the production batch — a third of the whole
+    pipeline step). This version holds the two loop feedbacks constant
+    within a ``block``-sample chunk, which makes every sample's
+    interpolation/decision computable in parallel; the fine-freq and
+    timing corrections accumulated over the chunk are applied once at
+    the chunk boundary. The loops' time constants (1/K_FF = 500
+    symbols, 1/K_T = 40 symbols) dwarf the ~4-symbol feedback delay, so
+    tracking dynamics are essentially unchanged — decode equivalence vs
+    the sample-stepped scan is asserted across SNR/offset/timing sweeps
+    in tests/test_c4fm_chain.py.
+
+    Emission bookkeeping is exact: with the clock frozen within a chunk
+    the wrap sequence has the closed form ``emit_i = floor(b_i) >
+    floor(b_{i-1})`` with ``b_i = clock0 + (i+1)·step`` (guarded to
+    ignore the 0-crossing a negative post-correction clock passes).
+    """
+    step = jnp.float32(symbol_rate / samp_rate)
+    lv = np.asarray(levels, np.float32)
+    spacing = np.diff(lv)
+    uniform = len(lv) > 1 and np.allclose(spacing, spacing[0])
+    levels_j = jnp.asarray(lv)
+    K_FF = jnp.float32(k_fine_freq)
+    K_T = jnp.float32(k_timing)
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    w = next(b for b in (block, 10, 8, 5, 4, 2, 1) if n % b == 0)
+    nb = len(batch)
+    cf = jnp.asarray(_FARROW).reshape(
+        (_FARROW.shape[0], 1, _FARROW.shape[1]) + (1,) * nb)
+
+    def chunk_body(carry, xw):
+        clock0, ff0, hist = carry            # hist: [HIST, ...batch]
+        adj = xw - ff0[None]                 # [w, ...batch]
+        buf = jnp.concatenate([hist, adj], axis=0)   # [HIST+w, ...]
+        # per-sample 8-sample windows, all at once: [w, HIST, ...batch]
+        h = jnp.stack([buf[i + 1: i + 1 + HIST] for i in range(w)],
+                      axis=0)
+        i1 = jnp.arange(1, w + 1, dtype=jnp.float32).reshape(
+            (w,) + (1,) * nb)
+        b = clock0[None] + i1 * step
+        fl = jnp.floor(b)
+        # Baseline for the first sample's crossing test. Clamped to ≤0:
+        # a chunk-end timing correction can leave clock0 ≥ 1 (an
+        # emission pending from the previous chunk); floor(clock0)=1
+        # would swallow that crossing and silently drop a symbol.
+        fl_prev = jnp.concatenate(
+            [jnp.minimum(jnp.floor(clock0[None]), 0.0), fl[:-1]], axis=0)
+        emit = (fl > fl_prev) & (fl >= 1.0)
+        clockw = b - jnp.maximum(fl, 0.0)
+        frac = jnp.clip(clockw / step, 0.0, 0.999)
+        tt = cf[0]
+        for j in range(1, cf.shape[0]):
+            tt = tt * frac[:, None] + cf[j]  # [w, 2·HIST, ...batch]
+        y = jnp.sum(h * tt[:, :HIST], axis=1)
+        dy = jnp.sum(h * tt[:, HIST:], axis=1)
+        if uniform:
+            s0, lo = jnp.float32(spacing[0]), jnp.float32(lv[0])
+            idx = jnp.clip(jnp.round((y - lo) / s0), 0.0, len(lv) - 1)
+            dec = lo + s0 * idx
+        else:
+            dist = jnp.abs(y[..., None] - levels_j)
+            dec = levels_j[jnp.argmin(dist, axis=-1)]
+        err = jnp.where(emit, y - dec, 0.0)
+        ff1 = ff0 + K_FF * jnp.sum(err, axis=0)
+        corr = K_T * jnp.sum(
+            jnp.where(emit, jnp.tanh(err * dy), 0.0), axis=0)
+        clock1 = clockw[-1] - corr
+        return (clock1, ff1, buf[w:]), (y, emit)
+
+    xs = jnp.moveaxis(x, -1, 0)
+    xs = xs.reshape((n // w, w) + xs.shape[1:])
+    carry0 = (state.clock, state.fine_freq,
+              jnp.moveaxis(state.hist, -1, 0))
+    (clock, ff, hist), (ys, emits) = jax.lax.scan(chunk_body, carry0, xs)
+    new_state = Fsk4State(clock, ff, jnp.moveaxis(hist, 0, -1))
+    ys = ys.reshape((n,) + ys.shape[2:])
+    emits = emits.reshape((n,) + emits.shape[2:])
+    return new_state, (jnp.moveaxis(ys, 0, -1),
+                       jnp.moveaxis(emits, 0, -1))
 
 
 def compact_symbols(symbols: np.ndarray, valid: np.ndarray) -> np.ndarray:

@@ -129,6 +129,14 @@ class ControlPipeline:
         self.sym_decim = 2 if (self.channel_fs / 2.0
                                >= 2.2 * self.symbol_rate) else 1
         self.track_fs = self.channel_fs / self.sym_decim
+        # Block-feedback symbol tracking (demod.fsk4.fsk4_demod_block):
+        # chunk the sample-stepped scan, holding loop feedback constant
+        # within a chunk (time constants 40-500 symbols >> the chunk).
+        # Measured on v5e (tools/scan_lab.py): the scan is VPU-
+        # throughput-bound, not chain-latency-bound, so this is
+        # perf-neutral there — kept (default off) for backends where
+        # scan-step latency dominates. 0/1 = exact sample-stepped scan.
+        self.fsk4_block = 0
         # State crosses the jit boundary wire-encoded (utils.wire): the
         # tunneled TPU transport can't carry complex64/uint32 buffers at
         # executable I/O; complex math stays inside jit.
@@ -189,9 +197,14 @@ class ControlPipeline:
         qs, disc = _fm.quadrature_demod(state.quad, chans, self.disc_gain)
         sh, filt = _batched_fir(state.sym_hist, disc, self.sym_taps,
                                 stride=self.sym_decim)
-        fs, (syms, valid) = _fsk4.fsk4_demod(
-            state.fsk4, filt, self.track_fs, self.symbol_rate,
-            levels=self.levels)
+        if self.fsk4_block > 1:
+            fs, (syms, valid) = _fsk4.fsk4_demod_block(
+                state.fsk4, filt, self.track_fs, self.symbol_rate,
+                levels=self.levels, block=self.fsk4_block)
+        else:
+            fs, (syms, valid) = _fsk4.fsk4_demod(
+                state.fsk4, filt, self.track_fs, self.symbol_rate,
+                levels=self.levels)
         if len(self.levels) == 4:
             dibits = _fsk4.slice_dibits_jax(syms).astype(jnp.int32)
         else:

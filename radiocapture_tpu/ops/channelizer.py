@@ -47,6 +47,16 @@ class XlatBank:
     12.5 kHz at channel_rate×2 (p25_control_demod.py:81,106).
     """
 
+    # Fused-kernel tuning knobs (see ops.pallas_channelizer): K-chunked
+    # window-build/dot interleave and bfloat16 plane outputs (halves the
+    # kernel-output and transpose-pass HBM traffic; the complex path
+    # regains float32 at materialization).
+    # Measured on v5e at the bench shape (tools/bench_ab.py, interleaved
+    # medians): bf16 outputs −3.7% full-step; K-chunked accumulation
+    # (chunk=5) was neutral-to-worse and stays off.
+    pallas_chunk: int = 0
+    pallas_out_bf16: bool = True
+
     def __init__(self, num_slots: int, decim: int, taps: np.ndarray):
         # Pad taps to a multiple of decim so the strided conv decomposes
         # into P polyphase frames -> one [N, P·D] × [P·D, C] matmul (the
@@ -205,8 +215,11 @@ class XlatBank:
         z2 = jnp.concatenate([hist2, x2], axis=0)     # [T + K - 1, 2]
         rows = n_out + p - 1
         zf2 = z2[: rows * d].reshape(rows, 2 * d)     # free view
-        y_re, y_im = _pk.bank_fused_pallas(zf2, g2, rot0, pows, p, d)
-        y = jax.lax.complex(y_re[:, :n_out], y_im[:, :n_out])
+        y_re, y_im = _pk.bank_fused_pallas(
+            zf2, g2, rot0, pows, p, d,
+            chunk=self.pallas_chunk, out_bf16=self.pallas_out_bf16)
+        y = jax.lax.complex(y_re[:, :n_out].astype(jnp.float32),
+                            y_im[:, :n_out].astype(jnp.float32))
         new_phase = state.phase + step * jnp.uint32(n_out)
         nh = z2[z2.shape[0] - (k - 1):]
         new_hist = jax.lax.complex(nh[:, 0], nh[:, 1])

@@ -144,8 +144,8 @@ def bank_matmul_pallas(zf_re: jax.Array, zf_im: jax.Array,
     return y_re[:n], y_im[:n]
 
 
-def _fused_kernel(p: int, dp2: int, bn: int, c: int,
-                  za, zh, g, rot0, rowph, ore, oim, w):
+def _fused_kernel(p: int, dp2: int, bn: int, c: int, chunk: int,
+                  out_dtype, za, zh, g, rot0, rowph, ore, oim, w):
     """One N-tile of the fused bank: window build (interleaved re/im
     rows — the tap matrix absorbs the complex arithmetic), one MXU dot,
     in-kernel mixer rotation, transposed plane outputs.
@@ -163,9 +163,26 @@ def _fused_kernel(p: int, dp2: int, bn: int, c: int,
     sin/cos pairs (transcendentals measured several times the cost of
     the whole discriminator stage at these shapes)."""
     z = jnp.concatenate([za[:], zh[0, : p - 1, :]], axis=0)
-    for q in range(p):
-        w[:, q * dp2:(q + 1) * dp2] = z[q:q + bn, :].astype(w.dtype)
-    acc = jnp.dot(w[:], g[:], preferred_element_type=jnp.float32)
+    if chunk >= p:
+        for q in range(p):
+            w[:, q * dp2:(q + 1) * dp2] = z[q:q + bn, :].astype(w.dtype)
+        acc = jnp.dot(w[:], g[:], preferred_element_type=jnp.float32)
+    else:
+        # K-chunked accumulation: build `chunk` polyphase branches in
+        # scratch, dot them against the matching tap-row band, repeat.
+        # The copy for chunk i+1 has no data dependence on chunk i's
+        # dot, so Mosaic can overlap VPU window-builds with MXU dots —
+        # the single-dot form serializes the full build before the dot.
+        acc = None
+        for q0 in range(0, p, chunk):
+            qn = min(chunk, p - q0)
+            for j in range(qn):
+                w[:, (q0 + j) * dp2:(q0 + j + 1) * dp2] = (
+                    z[q0 + j:q0 + j + bn, :].astype(w.dtype))
+            part = jnp.dot(w[:, q0 * dp2:(q0 + qn) * dp2],
+                           g[q0 * dp2:(q0 + qn) * dp2, :],
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
     b_re, b_im = rot0[0, 0:1, :c], rot0[0, 0:1, c:]          # [1, C]
     rp_re, rp_im = rowph[:, :c], rowph[:, c:]                # [BN, C]
     r_re = rp_re * b_re - rp_im * b_im
@@ -173,14 +190,19 @@ def _fused_kernel(p: int, dp2: int, bn: int, c: int,
     # outputs stay [BN, C]; the [C, N] layout flip happens outside as
     # one XLA transpose pass (in-kernel .T lowers to per-tile
     # lane<->sublane shuffle storms).
-    ore[:] = acc[:, :c] * r_re - acc[:, c:] * r_im
-    oim[:] = acc[:, :c] * r_im + acc[:, c:] * r_re
+    ore[:] = (acc[:, :c] * r_re - acc[:, c:] * r_im).astype(out_dtype)
+    oim[:] = (acc[:, :c] * r_im + acc[:, c:] * r_re).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "d", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "d", "interpret",
+                                             "transpose_out", "chunk",
+                                             "out_bf16"))
 def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
                       rowph: jax.Array, p: int, d: int,
-                      interpret: bool = False
+                      interpret: bool = False,
+                      transpose_out: bool = True,
+                      chunk: int = 0,
+                      out_bf16: bool = False
                       ) -> tuple[jax.Array, jax.Array]:
     """Fully fused xlat bank tile pass.
 
@@ -231,8 +253,10 @@ def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
                            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bn, c), lambda t: (t, 0),
                           memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((ntiles * bn, c), jnp.float32)] * 2
-    kern = functools.partial(_fused_kernel, p, dp2, bn, c)
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+    out_shape = [jax.ShapeDtypeStruct((ntiles * bn, c), out_dtype)] * 2
+    kern = functools.partial(_fused_kernel, p, dp2, bn, c,
+                             chunk if chunk > 0 else p, out_dtype)
     y_re, y_im = pl.pallas_call(
         kern,
         grid=(ntiles,),
@@ -242,6 +266,8 @@ def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
         scratch_shapes=[pltpu.VMEM((bn, p * dp2), jnp.bfloat16)],
         interpret=interpret,
     )(z2, halo, g2, rot0, rowph)
+    if not transpose_out:
+        return y_re, y_im           # [N_pad, C] time-major planes
     return y_re.T, y_im.T
 
 

@@ -103,6 +103,72 @@ def test_c4fm_decode_with_noise_and_offset():
     assert n_good >= 3
 
 
+def _demod_dibits_block(iq, fs=FS, block=10, split=None):
+    gain = fs / (2 * np.pi * 600.0)
+    qs, disc = FM.quadrature_demod(FM.quad_demod_init(), jnp.asarray(iq),
+                                   gain)
+    taps = FSK4.boxcar_taps(fs, SYMBOL_RATE)
+    fst = F.FirState(history=jnp.zeros(len(taps) - 1, jnp.float32))
+    fst, filt = F.fir_filter(fst, disc, jnp.asarray(taps))
+    st = FSK4.fsk4_init()
+    if split:
+        outs = []
+        filt_np = np.asarray(filt)
+        for i in range(0, len(filt_np), split):
+            seg = filt_np[i:i + split]
+            st, (s, v) = FSK4.fsk4_demod_block(
+                st, jnp.asarray(seg), fs, SYMBOL_RATE, block=block)
+            outs.append((np.asarray(s), np.asarray(v)))
+        syms = np.concatenate([o[0] for o in outs])
+        valid = np.concatenate([o[1] for o in outs])
+    else:
+        st, (syms, valid) = FSK4.fsk4_demod_block(st, filt, fs,
+                                                  SYMBOL_RATE, block=block)
+    symbols = FSK4.compact_symbols(np.asarray(syms), np.asarray(valid))
+    return FSK4.slice_dibits(symbols), symbols
+
+
+def test_fsk4_block_feedback_decodes_under_stress():
+    """The block-feedback tracker (fsk4_demod_block) must survive the
+    same impairments the sample-stepped scan does: AWGN, carrier
+    offset, and a sample-clock error — plus block-split streaming
+    (state continuity across jit-step boundaries)."""
+    dibits, expected = _make_control_stream(6)
+    iq = M.c4fm_modulate(dibits, fs=FS)
+    iq = M.resample_linear(iq, 1.0005) if hasattr(M, "resample_linear") \
+        else iq
+    iq = M.freq_shift(iq, FS, 240.0)
+    iq = M.awgn(iq, snr_db=30.0)
+    for split in (None, 250):
+        rx_dibits, _ = _demod_dibits_block(iq, split=split)
+        frames = Framer().feed(rx_dibits)
+        assert len(frames) >= 3, f"split={split}: {len(frames)} frames"
+        n_good = 0
+        for fb in frames:
+            fr = P.parse_frame(fb)
+            for t in fr.tsbks:
+                if t.get("crc") == 0 and t["name"] == "GRP_V_CH_GRANT":
+                    assert (t["Channel"], t["Group Address"],
+                            t["Source Address"]) in expected
+                    n_good += 1
+        assert n_good >= 3, f"split={split}: {n_good} good grants"
+
+
+def test_fsk4_block_feedback_matches_exact_on_clean_signal():
+    """On a clean signal the block tracker's sliced symbol stream is
+    identical to the sample-stepped scan's (the deferred feedback only
+    perturbs convergence transients, not steady-state decisions)."""
+    dibits, _ = _make_control_stream(4)
+    iq = M.c4fm_modulate(dibits, fs=FS)
+    d_exact, s_exact = _demod_dibits(iq)
+    d_block, s_block = _demod_dibits_block(iq)
+    n = min(len(d_exact), len(d_block))
+    assert n > 1000
+    # Allow a handful of disagreements around the initial lock-in.
+    mismatches = int(np.sum(d_exact[:n] != d_block[:n]))
+    assert mismatches <= 5, f"{mismatches} dibit mismatches"
+
+
 def test_fsk4_batched_channels():
     """The scan kernel is vmappable over channel slots."""
     dibits, _ = _make_control_stream(2)

@@ -176,6 +176,48 @@ def test_pallas_fused_bank_parity(rng):
         np.testing.assert_allclose(got, ref, atol=0.03 * scale)
 
 
+def test_pallas_fused_bank_variants(rng):
+    """The kernel's tuning knobs (K-chunked accumulation, bf16 outputs,
+    untransposed plane outputs) must not change the math: each variant
+    is compared against the default-path fused kernel, interpret mode."""
+    from radiocapture_tpu.ops import pallas_channelizer as pk
+    from radiocapture_tpu.ops.fir import _phase_step_u32
+
+    n_out, p, d, c = 300, 6, 16, 8
+    k = p * d
+    taps = rng.standard_normal(k).astype(np.float32)
+    offs = (rng.standard_normal(c) * 0.1).astype(np.float32)
+    x2 = rng.standard_normal((n_out * d + k - 1, 2)).astype(np.float32)
+
+    kk = jnp.arange(k, dtype=jnp.float32)
+    ang = (2.0 * jnp.pi) * jnp.asarray(offs)[:, None] * kk[None, :]
+    grev = (jnp.asarray(taps)[None, :] * jnp.exp(1j * ang))[:, ::-1].T
+    g2 = pk.fused_tap_matrix(jnp.real(grev).astype(jnp.float32),
+                             jnp.imag(grev).astype(jnp.float32),
+                             p, d).astype(jnp.float32)
+    step = _phase_step_u32(jnp.asarray(offs), d)
+    rot0, pows = pk.fused_rotation_tables(
+        jnp.zeros(c, jnp.uint32), step, n_out)
+    rows = n_out + p - 1
+    zf2 = jnp.asarray(x2[: rows * d].reshape(rows, 2 * d))
+
+    base = pk.bank_fused_pallas(zf2, g2, rot0, pows, p, d,
+                                interpret=True)
+    for kwargs in ({"chunk": 2}, {"chunk": 1}, {"out_bf16": True},
+                   {"chunk": 2, "out_bf16": True},
+                   {"transpose_out": False}):
+        got = pk.bank_fused_pallas(zf2, g2, rot0, pows, p, d,
+                                   interpret=True, **kwargs)
+        if not kwargs.get("transpose_out", True):
+            got = tuple(a.T for a in got)
+        scale = max(float(jnp.abs(b).max()) for b in base)
+        tol = 0.01 * scale if kwargs.get("out_bf16") else 1e-5 * scale
+        for gb, bb in zip(got, base):
+            np.testing.assert_allclose(np.asarray(gb, np.float32),
+                                       np.asarray(bb, np.float32),
+                                       atol=tol)
+
+
 def test_pfb_block_split(rng):
     fs = 800_000.0
     m = 8

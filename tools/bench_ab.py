@@ -1,0 +1,78 @@
+"""Full-step A/B of channelizer kernel knobs at the bench shape.
+
+Two identically-shaped pipelines (knobs on/off) timed in interleaved
+rounds; report median and min (the tunneled device's throughput drifts
+minute-to-minute and the minimum is the least contended estimate).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(rounds=6):
+    import jax
+    import jax.numpy as jnp
+    from radiocapture_tpu.frontend.pipeline import ControlPipeline
+
+    dev = jax.devices()[0]
+    n_sources, samp_rate, num_slots = 128, 2.4e6, 64
+
+    def build(chunk, out_bf16):
+        pipe = ControlPipeline.p25_c4fm(num_slots=num_slots,
+                                        samp_rate=samp_rate)
+        pipe.bank.pallas_chunk = chunk
+        pipe.bank.pallas_out_bf16 = out_bf16
+        return pipe
+
+    pipes = [("off", build(0, False)), ("on", build(5, True)),
+             ("chunk-only", build(5, False)), ("bf16-only", build(0, True))]
+    block = pipes[0][1].decim * 2500
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.standard_normal(
+        (n_sources, block, 2)).astype(np.float32), dev)
+    offs = jax.device_put(jnp.asarray(np.tile(
+        ((np.arange(num_slots) - num_slots // 2)
+         * 25e3 / samp_rate).astype(np.float32), (n_sources, 1))), dev)
+
+    progs = []
+    for name, pipe in pipes:
+        state = jax.device_put(jax.tree.map(
+            lambda l: jnp.broadcast_to(l, (n_sources,) + l.shape),
+            pipe.init()), dev)
+        step = jax.jit(jax.vmap(pipe._step_impl), donate_argnums=(0,))
+        progs.append([name, step, state])
+
+    def measure(prog, n=5):
+        name, step, state = prog
+        state, out = step(state, x, offs)
+        float(jnp.sum(out[0][..., -1]).astype(jnp.float32))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, out = step(state, x, offs)
+        float(jnp.sum(out[0][..., -1]).astype(jnp.float32))
+        prog[2] = state
+        return (time.perf_counter() - t0) / n * 1e3
+
+    runs = {p[0]: [] for p in progs}
+    for rnd in range(rounds):
+        for prog in progs:
+            ms = measure(prog)
+            runs[prog[0]].append(ms)
+            print(f"  r{rnd} {prog[0]}: {ms:.2f}", flush=True)
+    agg = n_sources * block / 1e6
+    print()
+    for name, v in runs.items():
+        s = sorted(v)
+        print(f"{name:10s}: median {s[len(s) // 2]:6.2f} ms "
+              f"({agg / s[len(s) // 2] * 1e3:7.1f} MS/s)   "
+              f"min {s[0]:6.2f} ms ({agg / s[0] * 1e3:7.1f} MS/s)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)
