@@ -40,10 +40,14 @@ def main():
     step = jax.jit(jax.vmap(pipe._step_impl), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
-    # IQ ships host->device as float32 re/im pairs (the transfer-friendly
-    # wire layout; SDR ingest would be int16/float32, never complex64).
+    # IQ ships host->device as bfloat16 re/im pairs — the IngestRing's
+    # pop_bf16 wire layout (frontend/ingest.py): lossless for the 8-bit
+    # RTL-class SDR formats and half the float32 stream (PERF.md §6;
+    # complex64 can't cross this transport at all).
+    import ml_dtypes
     x = jax.device_put(
-        rng.standard_normal((n_sources, block, 2)).astype(np.float32), dev)
+        rng.standard_normal((n_sources, block, 2))
+        .astype(ml_dtypes.bfloat16), dev)
     offs = jnp.asarray(np.tile(
         ((np.arange(num_slots) - num_slots // 2)
          * 25e3 / samp_rate).astype(np.float32), (n_sources, 1)))

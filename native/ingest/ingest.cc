@@ -180,6 +180,64 @@ int64_t rc_ring_pop_f32(void* h, float* out, int64_t n_samples) {
   return n_samples;
 }
 
+// float -> bfloat16 (round to nearest even), bit pattern as uint16.
+static inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  x += 0x7fffu + ((x >> 16) & 1u);
+  return static_cast<uint16_t>(x >> 16);
+}
+
+// Consumer: pop exactly n_samples converted to bfloat16 re/im pairs —
+// the TPU pipelines' compute dtype. Lossless for the 8-bit SDR wire
+// formats (cu8/cs8 carry 8 significant bits; bf16 has an 8-bit
+// mantissa) and halves the host->device stream vs float32.
+int64_t rc_ring_pop_bf16(void* h, uint16_t* out, int64_t n_samples) {
+  Ring* r = static_cast<Ring*>(h);
+  const size_t bps = bytes_per_sample(r->fmt);
+  const size_t nbytes = static_cast<size_t>(n_samples) * bps;
+  uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  uint64_t head = r->head.load(std::memory_order_acquire);
+  if (head - tail < nbytes) return 0;
+  const float scale = r->scale;
+  size_t off = static_cast<size_t>(tail) & r->mask();
+  for (int64_t i = 0; i < n_samples; ++i) {
+    uint8_t tmp[8];
+    for (size_t b = 0; b < bps; ++b)
+      tmp[b] = r->buf[(off + i * bps + b) & r->mask()];
+    float re, im;
+    switch (r->fmt) {
+      case FMT_CF32: {
+        float v[2];
+        std::memcpy(v, tmp, 8);
+        re = v[0]; im = v[1];
+        break;
+      }
+      case FMT_CS16: {
+        int16_t v[2];
+        std::memcpy(v, tmp, 4);
+        re = v[0] * (1.0f / 32768.0f); im = v[1] * (1.0f / 32768.0f);
+        break;
+      }
+      case FMT_CS8: {
+        int8_t v[2];
+        std::memcpy(v, tmp, 2);
+        re = v[0] * (1.0f / 128.0f); im = v[1] * (1.0f / 128.0f);
+        break;
+      }
+      default: {  // FMT_CU8
+        re = (tmp[0] - 127.5f) * (1.0f / 127.5f);
+        im = (tmp[1] - 127.5f) * (1.0f / 127.5f);
+        break;
+      }
+    }
+    out[2 * i] = f32_to_bf16(re * scale);
+    out[2 * i + 1] = f32_to_bf16(im * scale);
+  }
+  r->tail.store(tail + nbytes, std::memory_order_release);
+  return n_samples;
+}
+
 // ---- UDP producer (legacy transport: receiver.py:91-92) ----
 // Blocking receive loop intended for a dedicated thread: reads datagrams
 // into the ring until rc_udp_stop. Returns the socket fd or -1.

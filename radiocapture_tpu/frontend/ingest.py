@@ -73,6 +73,10 @@ def _load():
             lib.rc_ring_pop_f32.argtypes = [ctypes.c_void_p,
                                             ctypes.c_void_p,
                                             ctypes.c_int64]
+            lib.rc_ring_pop_bf16.restype = ctypes.c_int64
+            lib.rc_ring_pop_bf16.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_void_p,
+                                             ctypes.c_int64]
             lib.rc_udp_open.restype = ctypes.c_void_p
             lib.rc_udp_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                         ctypes.c_int]
@@ -123,6 +127,18 @@ class IngestRing:
             self._h, out.ctypes.data_as(ctypes.c_void_p), n)
         return out if got == n else None
 
+    def pop_bf16(self, n: int) -> np.ndarray | None:
+        """Consumer side: [n, 2] bfloat16 re/im — the TPU pipelines'
+        compute dtype. Lossless for cu8/cs8 wire formats (8 significant
+        bits vs bf16's 8-bit mantissa) and halves the host->device
+        stream; measured +3.7% end-to-end at the bench shape
+        (PERF.md §6)."""
+        import ml_dtypes
+        out = np.empty((n, 2), ml_dtypes.bfloat16)
+        got = self._lib.rc_ring_pop_bf16(
+            self._h, out.ctypes.data_as(ctypes.c_void_p), n)
+        return out if got == n else None
+
     @property
     def available(self) -> int:
         return self._lib.rc_ring_available(self._h)
@@ -131,10 +147,21 @@ class IngestRing:
     def dropped(self) -> int:
         return self._lib.rc_ring_dropped(self._h)
 
-    def provider(self, strict: bool = True):
+    def provider(self, strict: bool = True, bf16: bool = False):
         """A SiteRuntime block provider. ``strict`` returns None when the
         ring can't fill a block (skip the step); non-strict zero-fills —
-        live capture keeps real-time cadence through dropouts."""
+        live capture keeps real-time cadence through dropouts. ``bf16``
+        delivers blocks in the TPU compute dtype (see :meth:`pop_bf16`)."""
+        if bf16:
+            import ml_dtypes
+
+            def pull16(n: int):
+                b = self.pop_bf16(n)
+                if b is None and not strict:
+                    return np.zeros((n, 2), ml_dtypes.bfloat16)
+                return b
+            return pull16
+
         def pull(n: int):
             b = self.pop(n)
             if b is None and not strict:

@@ -49,6 +49,7 @@ def _bank_step(bank, bank_state, x, offsets_norm):
     if not jnp.iscomplexobj(x) and hasattr(bank, "call_wire"):
         return bank.call_wire(bank_state, x, offsets_norm)
     if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.float32)
         x = jax.lax.complex(x[..., 0], x[..., 1])
     return bank(bank_state, x, offsets_norm)
 
@@ -465,6 +466,7 @@ class SpectrumSplit2:
     def _step_impl(self, wire_state, x: jax.Array):
         state = _wire.decode(wire_state, self._state_spec)
         if not jnp.iscomplexobj(x):
+            x = x.astype(jnp.float32)
             x = jax.lax.complex(x[..., 0], x[..., 1])
         st, y = self.bank(state, x, jnp.asarray(self._offsets))  # [2, T/2]
         return _wire.encode(st), jnp.stack(

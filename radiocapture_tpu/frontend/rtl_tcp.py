@@ -183,10 +183,12 @@ class RtlTcpSource:
                                 self.host, self.port, e)
                     time.sleep(self.reconnect_s)
 
-    def provider(self, strict: bool = False):
+    def provider(self, strict: bool = False, bf16: bool = False):
         """SiteRuntime block provider (zero-fills through dropouts by
-        default — live capture keeps real-time cadence)."""
-        return self.ring.provider(strict=strict)
+        default — live capture keeps real-time cadence). ``bf16``
+        delivers blocks in the TPU compute dtype (IngestRing.pop_bf16:
+        lossless for the cu8 wire format)."""
+        return self.ring.provider(strict=strict, bf16=bf16)
 
     def stop(self) -> None:
         self._running = False

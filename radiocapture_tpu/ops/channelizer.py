@@ -189,7 +189,8 @@ class XlatBank:
         k, d, c, p = self.ntaps, self.decim, self.num_slots, self.p
         n_out = x2.shape[0] // d
         if not _pk.pallas_supported(n_out, p, d, c):
-            x = jax.lax.complex(x2[..., 0], x2[..., 1])
+            x2f = x2.astype(jnp.float32)
+            x = jax.lax.complex(x2f[..., 0], x2f[..., 1])
             return self(state, x, offsets_norm)
         # Modulated taps g[c,k] = h[k]·e^{j2πf_c k} with the phasor
         # factorized e^{j2πf_c(qD+j)} = e^{j2πf_c qD}·e^{j2πf_c j}:
@@ -210,8 +211,13 @@ class XlatBank:
             jnp.imag(grev).astype(jnp.float32), p, d)
         step = _phase_step_u32(offsets_norm, d)
         rot0, pows = _pk.fused_rotation_tables(state.phase, step, n_out)
+        # x2 may arrive bfloat16 (the SDR ingest wire layout: RTL-class
+        # sources carry 8 significant bits, bf16 is lossless for them
+        # and halves the host->device stream). History state stays
+        # complex64; the kernel computes in bf16 either way.
         hist2 = jnp.stack([jnp.real(state.history),
-                           jnp.imag(state.history)], axis=-1)
+                           jnp.imag(state.history)],
+                          axis=-1).astype(x2.dtype)
         z2 = jnp.concatenate([hist2, x2], axis=0)     # [T + K - 1, 2]
         rows = n_out + p - 1
         zf2 = z2[: rows * d].reshape(rows, 2 * d)     # free view
@@ -221,7 +227,7 @@ class XlatBank:
         y = jax.lax.complex(y_re[:, :n_out].astype(jnp.float32),
                             y_im[:, :n_out].astype(jnp.float32))
         new_phase = state.phase + step * jnp.uint32(n_out)
-        nh = z2[z2.shape[0] - (k - 1):]
+        nh = z2[z2.shape[0] - (k - 1):].astype(jnp.float32)
         new_hist = jax.lax.complex(nh[:, 0], nh[:, 1])
         return XlatBankState(history=new_hist, phase=new_phase), y
 

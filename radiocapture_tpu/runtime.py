@@ -543,7 +543,7 @@ def providers_from_config(cfg: RcConfig) -> tuple[dict, list]:
                 source_for_config
             s = source_for_config(src, idx)
             live.append(s)
-            providers[idx] = s.provider()
+            providers[idx] = s.provider(bf16=cfg.ingest_bf16)
         else:
             raise ValueError(
                 f"source {idx}: no ingest path for type {src.type!r} "

@@ -80,6 +80,10 @@ class RcConfig:
     # TPU-native additions: slot-pool sizing for the batched pipelines.
     num_slots_per_source: int = 64
     block_seconds: float = 0.1    # streaming block length
+    # Live-SDR blocks ship host->device as bfloat16 re/im (lossless for
+    # the 8-bit RTL wire format, half the float32 stream; PERF.md §6).
+    # File replay stays float32 for capture fidelity.
+    ingest_bf16: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "RcConfig":
@@ -92,7 +96,8 @@ class RcConfig:
                                 else SystemConfig(**s))
         for k in ("frontend_mode", "receiver_split2", "redis_servers",
                   "activemq", "site_uuid", "blacklists", "scan_mode",
-                  "audio_dir", "num_slots_per_source", "block_seconds"):
+                  "audio_dir", "num_slots_per_source", "block_seconds",
+                  "ingest_bf16"):
             if k in d:
                 setattr(cfg, k, d[k])
         return cfg

@@ -38,6 +38,45 @@ def test_ring_cu8_offset_and_cf32():
     rf.close()
 
 
+def test_ring_pop_bf16():
+    """bf16 pops: bit-lossless for cu8 wire samples (8 significant bits
+    fit bf16's mantissa exactly) and round-to-nearest vs the f32 pop
+    elsewhere."""
+    import ml_dtypes
+    r = ingest.IngestRing("cu8", capacity_samples=1 << 10)
+    raw = np.arange(0, 64, dtype=np.uint8)
+    r.push(raw)
+    out16 = r.pop_bf16(32)
+    assert out16 is not None and out16.dtype == ml_dtypes.bfloat16
+    expect = ((raw.astype(np.float32) - 127.5) / 127.5).reshape(-1, 2)
+    # cu8 -> bf16 via RNE: within one bf16 ulp of the exact value.
+    np.testing.assert_allclose(out16.astype(np.float32), expect,
+                               atol=2 ** -8)
+    assert r.pop_bf16(1) is None     # drained
+    r.close()
+
+    r2 = ingest.IngestRing("cs16", capacity_samples=1 << 10)
+    iq = (np.arange(-8, 8, dtype=np.int16)).reshape(-1, 2)
+    r2.push(iq)
+    o = r2.pop_bf16(8).astype(np.float32)
+    np.testing.assert_allclose(o, iq.astype(np.float32) / 32768.0,
+                               rtol=2 ** -8, atol=1e-9)
+    r2.close()
+
+
+def test_ring_provider_bf16_zero_fill():
+    import ml_dtypes
+    r = ingest.IngestRing("cs8", capacity_samples=1 << 10)
+    pull = r.provider(strict=False, bf16=True)
+    blk = pull(32)                   # under-filled -> zero block
+    assert blk.dtype == ml_dtypes.bfloat16 and blk.shape == (32, 2)
+    assert not blk.astype(np.float32).any()
+    r.push(np.arange(-32, 32, dtype=np.int8))
+    blk = pull(32)
+    assert blk.astype(np.float32).any()
+    r.close()
+
+
 def test_ring_overflow_drops_incoming():
     r = ingest.IngestRing("cs8", capacity_samples=16)
     # capacity rounds to >= 16 samples (32 B); overfill with 100

@@ -30,8 +30,7 @@ def main(rounds=6):
         pipe.bank.pallas_out_bf16 = out_bf16
         return pipe
 
-    pipes = [("off", build(0, False)), ("on", build(5, True)),
-             ("chunk-only", build(5, False)), ("bf16-only", build(0, True))]
+    pipes = [("f32-in", build(0, True)), ("bf16-in", build(0, True))]
     block = pipes[0][1].decim * 2500
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal(
@@ -40,6 +39,8 @@ def main(rounds=6):
         ((np.arange(num_slots) - num_slots // 2)
          * 25e3 / samp_rate).astype(np.float32), (n_sources, 1))), dev)
 
+    xb = jax.device_put(
+        jnp.asarray(np.asarray(x)).astype(jnp.bfloat16), dev)
     progs = []
     for name, pipe in pipes:
         state = jax.device_put(jax.tree.map(
@@ -50,11 +51,12 @@ def main(rounds=6):
 
     def measure(prog, n=5):
         name, step, state = prog
-        state, out = step(state, x, offs)
+        xin = xb if name.startswith("bf16") else x
+        state, out = step(state, xin, offs)
         float(jnp.sum(out[0][..., -1]).astype(jnp.float32))
         t0 = time.perf_counter()
         for _ in range(n):
-            state, out = step(state, x, offs)
+            state, out = step(state, xin, offs)
         float(jnp.sum(out[0][..., -1]).astype(jnp.float32))
         prog[2] = state
         return (time.perf_counter() - t0) / n * 1e3
