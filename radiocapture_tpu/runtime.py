@@ -209,6 +209,18 @@ class SiteRuntime:
         self._pending_pipelines: set[tuple] = set()
         self._pipe_lock = threading.Lock()
 
+        # The reference always voice-decodes P25 recordings to PCM
+        # (logging_receiver.py:253 repeater.vocoder); install the in-repo
+        # native IMBE vocoder once, best-effort (no g++ → .imbe sidecars,
+        # the recorder's documented fallback).
+        from radiocapture_tpu.audio.recorder import get_default_vocoder
+        if get_default_vocoder() is None:
+            try:
+                from radiocapture_tpu.audio import imbe as _imbe
+                _imbe.install_default()
+            except Exception as e:      # pragma: no cover - toolchain
+                log.warning("native IMBE vocoder unavailable (%s); "
+                            "voice saved as .imbe sidecars", e)
         self.recorders = RecorderManager(self.bus, self.scheduler,
                                          audio_dir=cfg.audio_dir,
                                          keep_wav=keep_wav,

@@ -43,6 +43,17 @@ def _isolate_cwd(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
 
 
+@pytest.fixture(autouse=True)
+def _isolate_default_vocoder():
+    """The recorder's process-global default vocoder (installed by
+    runtime/vocoder tests) must not leak between tests — sidecar-
+    fallback tests assert no-vocoder behavior."""
+    from radiocapture_tpu.audio import recorder as _rec
+    before = _rec.get_default_vocoder()
+    yield
+    _rec.set_default_vocoder(before)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0x5F5FF77F)

@@ -73,9 +73,9 @@ def _config(tmp_path):
 
 
 def test_runtime_grant_to_recording(tmp_path, capture):
-    from radiocapture_tpu.audio import imbe as I
-    from radiocapture_tpu.audio.recorder import set_default_vocoder
-    I.install_default()
+    # No manual vocoder install: SiteRuntime registers the native IMBE
+    # decoder itself (reference always voice-decodes,
+    # logging_receiver.py:253) — the PCM assertion below proves it.
     cfg = _config(tmp_path)
     rt = SiteRuntime(cfg, {0: FileSource(capture)}, keep_wav=True)
     rt.use_stream_clock()    # hang-time follows stream, not host load
@@ -95,7 +95,6 @@ def test_runtime_grant_to_recording(tmp_path, capture):
         assert kind == "c4fm"       # C4FM system + FDMA IDEN
     finally:
         rt.close()
-        set_default_vocoder(None)
     deadline = time.time() + 3.0
     while not completed and time.time() < deadline:
         time.sleep(0.05)
@@ -161,7 +160,6 @@ def test_runtime_cqpsk_voice_routing(tmp_path):
         assert rec.cdr["modulation_type"] == "p25_cqpsk"
     finally:
         rt.close()
-        set_default_vocoder(None)
     deadline = time.time() + 3.0
     while not completed and time.time() < deadline:
         time.sleep(0.05)
