@@ -37,8 +37,11 @@
  * oscillators at l*w0 with per-sample linear amplitude/frequency
  * interpolation between frames; unvoiced harmonics add per-sample
  * random phase jitter, turning the oscillator into narrowband noise.
- * Analysis (encoder): autocorrelation pitch search 50..400 Hz, windowed
- * DFT harmonic amplitudes, per-band harmonicity voicing test.
+ * Analysis (encoder): normalized-autocorrelation pitch search
+ * 50..400 Hz with octave-error sub-multiple preference and parabolic
+ * fractional-lag refinement (the b0 grid is half-sample); windowed DFT
+ * harmonic amplitudes plus inter-harmonic floor; per-band harmonicity
+ * voicing (harmonic-comb energy vs the floor between the teeth).
  */
 
 #include "imbe.h"
@@ -643,38 +646,74 @@ void imbe_encode(imbe_encoder_t* e, const int16_t pcm[160],
   e->have_hist = 1;
 
   const int N = FRAME * 2;
-  /* pitch: autocorrelation over lags for 50..400 Hz at 8 kHz */
+  /* pitch: normalized autocorrelation over lags for 50..400 Hz at
+   * 8 kHz, with two standard refinements (r3 VERDICT weak #8):
+   *  - octave-error guard: a periodic signal peaks at every multiple
+   *    of its true lag, and a plain argmax often lands on 2T/3T (an
+   *    octave-down error). Prefer the smallest sub-multiple of the
+   *    argmax whose own score is within 10% of the peak.
+   *  - parabolic interpolation of the score around the winning lag
+   *    for fractional-lag resolution — the b0 grid is half-sample
+   *    (b0 = 2·lag − 39.5), so integer-lag search alone wastes half
+   *    the quantizer's precision and detunes high harmonics. */
   double best = -1.0;
   int best_lag = 40;
   double e0 = 1e-12;
   for (int n = 0; n < N; ++n) e0 += x[n] * x[n];
+  double nac[161];
   for (int lag = 20; lag <= 160; ++lag) {
     double c = 0.0, ee = 1e-12;
     for (int n = lag; n < N; ++n) { c += x[n] * x[n - lag]; ee += x[n - lag] * x[n - lag]; }
-    double score = c / sqrt(e0 * ee);
-    if (score > best) { best = score; best_lag = lag; }
+    nac[lag] = c / sqrt(e0 * ee);
+    if (nac[lag] > best) { best = nac[lag]; best_lag = lag; }
   }
-  double w0 = 2.0 * M_PI / (double)best_lag;
-  int b0 = (int)lrint(4.0 * M_PI / w0 - 39.5);
+  for (int k = 4; k >= 2; --k) {
+    int sub = (best_lag + k / 2) / k;
+    if (sub >= 20 && sub <= 160 && nac[sub] > 0.90 * best) {
+      best_lag = sub;
+      best = nac[sub];
+      break;
+    }
+  }
+  double lag_f = (double)best_lag;
+  if (best_lag > 20 && best_lag < 160) {
+    double s0 = nac[best_lag - 1], s1 = nac[best_lag],
+           s2 = nac[best_lag + 1];
+    double den = s0 - 2.0 * s1 + s2;
+    if (den < -1e-9) {
+      double frac = 0.5 * (s0 - s2) / den;
+      if (frac > -0.5 && frac < 0.5) lag_f += frac;
+    }
+  }
+  int b0 = (int)lrint(2.0 * lag_f - 39.5);
   if (b0 < 0) b0 = 0;
   if (b0 > 207) b0 = 207;
-  w0 = 4.0 * M_PI / (double)(b0 + 39.5);
+  double w0 = 4.0 * M_PI / (double)(b0 + 39.5);
   int L = imbe_harmonics_for_b0(b0);
 
-  /* harmonic amplitudes via windowed DFT at l*w0 */
-  double amp[58], logamp[58];
+  /* harmonic amplitudes via windowed DFT at l*w0, plus the
+   * inter-harmonic amplitudes at (l+1/2)*w0 — the floor between the
+   * comb's teeth, which the per-band voicing test below compares
+   * against (a voiced band concentrates its energy ON the comb). */
+  double amp[58], logamp[58], offamp[58];
   double total = 1e-12, peak = 1e-6;
   for (int l = 1; l <= L; ++l) {
-    double wr = 0.0, wi = 0.0, wsum = 0.0;
+    double wr = 0.0, wi = 0.0, orr = 0.0, oi = 0.0, wsum = 0.0;
     double wl = w0 * l;
-    if (wl >= M_PI) { amp[l] = 0.0; continue; }
+    double wo = w0 * (l + 0.5);
+    if (wl >= M_PI) { amp[l] = 0.0; offamp[l] = 0.0; continue; }
     for (int n = 0; n < N; ++n) {
       double win = 0.5 - 0.5 * cos(2.0 * M_PI * n / (N - 1));
-      wr += x[n] * win * cos(wl * n);
-      wi -= x[n] * win * sin(wl * n);
+      double wx = x[n] * win;
+      wr += wx * cos(wl * n);
+      wi -= wx * sin(wl * n);
+      orr += wx * cos(wo * n);
+      oi -= wx * sin(wo * n);
       wsum += win;
     }
     amp[l] = 2.0 * sqrt(wr * wr + wi * wi) / wsum;
+    offamp[l] = (wo < M_PI) ? 2.0 * sqrt(orr * orr + oi * oi) / wsum
+                            : 0.0;
     total += amp[l] * amp[l];
     if (amp[l] > peak) peak = amp[l];
   }
@@ -686,17 +725,28 @@ void imbe_encode(imbe_encoder_t* e, const int16_t pcm[160],
     logamp[l] = log2(amp[l] > fl ? amp[l] : fl);
   double rms = sqrt(total / (L > 0 ? L : 1));
 
-  /* voicing: global harmonicity (autocorr peak) gates all bands;
-   * per-band refinement uses harmonic-vs-floor energy */
+  /* voicing: per-band harmonicity. A band is voiced when its energy
+   * sits ON the harmonic comb (harmonic bins dominate the
+   * inter-harmonic floor by ~6 dB) — this, unlike the r3
+   * amplitude-presence test, marks noise-filled bands unvoiced even
+   * when they are loud, giving real mixed-voicing frames (breathy
+   * speech: voiced low bands, unvoiced fricative top). The global
+   * autocorrelation peak remains a weak gate so silence/noise frames
+   * cannot vote voiced on numerical flukes. */
   uint32_t voicing = 0;
   int K = imbe_bands_for_L(L);
   for (int k = 0; k < K; ++k) {
-    double band_amp = 0.0;
+    double eh = 0.0, ei = 1e-12, band_amp = 0.0;
     for (int j = 0; j < 3; ++j) {
       int l = 3 * k + j + 1;
-      if (l <= L) band_amp += amp[l];
+      if (l <= L) {
+        eh += amp[l] * amp[l];
+        ei += offamp[l] * offamp[l];
+        band_amp += amp[l];
+      }
     }
-    int v = (best > 0.35) && (band_amp > 0.05 * rms);
+    int v = (best > 0.25) && (eh > 4.0 * ei)
+            && (band_amp > 0.02 * rms);
     if (v) voicing |= 1u << (11 - k);
   }
 
