@@ -218,6 +218,30 @@ def test_pallas_fused_bank_variants(rng):
                                        atol=tol)
 
 
+def test_pipeline_accepts_bf16_wire_blocks(rng):
+    """The ingest ring's bfloat16 wire layout (PERF.md §6) must flow
+    through ControlPipeline like float32: same shapes, and near-
+    identical symbols on the same input (bf16 rounds the 8-12
+    significant bits of SDR IQ well below the slicer margins)."""
+    import ml_dtypes
+    from radiocapture_tpu.frontend.pipeline import ControlPipeline
+
+    pipe = ControlPipeline.p25_c4fm(num_slots=4, samp_rate=200e3)
+    n = pipe.block_multiple * 4
+    x32 = rng.standard_normal((n, 2)).astype(np.float32) * 0.3
+    x16 = x32.astype(ml_dtypes.bfloat16)
+    offs = jnp.zeros(4, jnp.float32)
+    sa = pipe.init()
+    sb = pipe.init()
+    sa, (ya, va, da) = pipe.step(sa, jnp.asarray(x32), offs)
+    sb, (yb, vb, db) = pipe.step(sb, jnp.asarray(x16), offs)
+    assert ya.shape == yb.shape and va.shape == vb.shape
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    scale = max(1e-6, float(jnp.abs(ya).max()))
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               atol=0.05 * scale)
+
+
 def test_pfb_block_split(rng):
     fs = 800_000.0
     m = 8
