@@ -395,6 +395,10 @@ int imbe_unpack_frame(const uint8_t bits[144], imbe_params_t* p) {
   for (int i = 4; i < 7; ++i) put_bits(info, &pos, u[i], 11);
   put_bits(info, &pos, u[7], 7);
   unscan_params(info, p);
+  /* b0 rides in 8 bits but only 0..207 index the model (L/K
+   * geometry); a larger value means the FEC passed on garbage —
+   * an unusable frame, not a decodable one. */
+  if (p->b0 > 207) return -1;
   return errs;
 }
 
