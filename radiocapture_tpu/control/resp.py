@@ -67,23 +67,32 @@ def _parse_reply(buf: bytes, pos: int):
     line = buf[pos:i]
     pos = i + 2
     t, rest = line[:1], line[1:]
+    # Malformed wire data (non-numeric lengths, absurd sizes, invalid
+    # utf-8) is a protocol desync, surfaced as ConnectionError so the
+    # callers' reconnect paths — not a stray ValueError — handle it
+    # (tests/test_fuzz_robustness.py).
     if t == b"+":
-        return rest.decode(), pos
+        return rest.decode(errors="replace"), pos
     if t == b"-":
-        return RespError(rest.decode()), pos
+        return RespError(rest.decode(errors="replace")), pos
     if t == b":":
-        return int(rest), pos
-    if t == b"$":
-        n = int(rest)
+        try:
+            return int(rest), pos
+        except ValueError:
+            raise ConnectionError(f"bad RESP integer {rest[:32]!r}")
+    if t in (b"$", b"*"):
+        try:
+            n = int(rest)
+        except ValueError:
+            raise ConnectionError(f"bad RESP length {rest[:32]!r}")
+        if n < -1 or n > (1 << 29):     # Redis caps bulks at 512 MB
+            raise ConnectionError(f"unreasonable RESP length {n}")
         if n < 0:
             return None, pos
-        if len(buf) < pos + n + 2:
-            raise _Incomplete
-        return buf[pos:pos + n], pos + n + 2
-    if t == b"*":
-        n = int(rest)
-        if n < 0:
-            return None, pos
+        if t == b"$":
+            if len(buf) < pos + n + 2:
+                raise _Incomplete
+            return buf[pos:pos + n], pos + n + 2
         items = []
         for _ in range(n):
             v, pos = _parse_reply(buf, pos)

@@ -88,7 +88,12 @@ def parse_frame(buf: bytes, pos: int):
         headers.setdefault(_unesc(k), _unesc(v))   # first value wins
     body_start = head_end + 2
     if "content-length" in headers:
-        n = int(headers["content-length"])
+        try:
+            n = int(headers["content-length"])
+        except ValueError:
+            raise ConnectionError("bad STOMP content-length")
+        if n < 0 or n > (1 << 29):
+            raise ConnectionError(f"unreasonable STOMP body length {n}")
         if len(buf) < body_start + n + 1:
             raise _Incomplete
         if buf[body_start + n:body_start + n + 1] != b"\x00":

@@ -104,6 +104,39 @@ def test_provoice_framer_survives_random_bits():
         fr.feed(rng.integers(0, 2, k).astype(np.uint8))
 
 
+def test_resp_parser_survives_hostile_bytes():
+    """A misbehaving/hostile Redis peer must produce ConnectionError /
+    RespError / _Incomplete — never ValueError/UnicodeDecodeError
+    escaping into the bus threads' reconnect handling."""
+    from radiocapture_tpu.control import resp as R
+    rng = np.random.default_rng(0xF7)
+    cases = [b":abc\r\n", b"+\xff\xfe\r\n", b"-\xc3(\r\n",
+             b"$zz\r\n", b"*999999999999\r\n", b"$99999999999\r\n",
+             b"*-7\r\n", b"?x\r\n", b"*2\r\n:1\r\n:nope\r\n"]
+    cases += [bytes(rng.integers(0, 256, int(rng.integers(1, 200)))
+                    .astype(np.uint8)) for _ in range(300)]
+    for buf in cases:
+        try:
+            R._parse_reply(buf, 0)
+        except (R._Incomplete, ConnectionError):
+            pass        # the two legitimate outcomes for garbage
+
+
+def test_stomp_parser_survives_hostile_bytes():
+    from radiocapture_tpu.control import stomp as S
+    rng = np.random.default_rng(0xF8)
+    cases = [b"SEND\ncontent-length:zz\n\nxx\x00",
+             b"SEND\ncontent-length:99999999999\n\nxx\x00",
+             b"SEND\ncontent-length:-4\n\nxx\x00"]
+    cases += [bytes(rng.integers(0, 256, int(rng.integers(1, 300)))
+                    .astype(np.uint8)) for _ in range(300)]
+    for buf in cases:
+        try:
+            S.parse_frame(buf, 0)
+        except (S._Incomplete, ConnectionError):
+            pass
+
+
 def test_imbe_unpack_survives_random_codewords():
     I = pytest.importorskip("radiocapture_tpu.audio.imbe")
     rng = np.random.default_rng(0xF6)
