@@ -196,13 +196,15 @@ def _fused_kernel(p: int, dp2: int, bn: int, c: int, chunk: int,
 
 @functools.partial(jax.jit, static_argnames=("p", "d", "interpret",
                                              "transpose_out", "chunk",
-                                             "out_bf16"))
+                                             "out_bf16",
+                                             "dim_semantics"))
 def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
                       rowph: jax.Array, p: int, d: int,
                       interpret: bool = False,
                       transpose_out: bool = True,
                       chunk: int = 0,
-                      out_bf16: bool = False
+                      out_bf16: bool = False,
+                      dim_semantics: str | None = None
                       ) -> tuple[jax.Array, jax.Array]:
     """Fully fused xlat bank tile pass.
 
@@ -257,6 +259,13 @@ def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
     out_shape = [jax.ShapeDtypeStruct((ntiles * bn, c), out_dtype)] * 2
     kern = functools.partial(_fused_kernel, p, dp2, bn, c,
                              chunk if chunk > 0 else p, out_dtype)
+    # dim_semantics: optional Mosaic grid annotation for the tile
+    # dimension ("arbitrary" | "parallel"); measured neutral on v5e
+    # (tools/kernel_lab.py), kept as a tuning hook.
+    extra = {}
+    if dim_semantics and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(dim_semantics,))
     y_re, y_im = pl.pallas_call(
         kern,
         grid=(ntiles,),
@@ -265,6 +274,7 @@ def bank_fused_pallas(z2: jax.Array, g2: jax.Array, rot0: jax.Array,
         out_specs=[o_spec, o_spec],
         scratch_shapes=[pltpu.VMEM((bn, p * dp2), jnp.bfloat16)],
         interpret=interpret,
+        **extra,
     )(z2, halo, g2, rot0, rowph)
     if not transpose_out:
         return y_re, y_im           # [N_pad, C] time-major planes

@@ -169,6 +169,35 @@ def test_fsk4_block_feedback_matches_exact_on_clean_signal():
     assert mismatches <= 5, f"{mismatches} dibit mismatches"
 
 
+def test_pipeline_block_feedback_mode_decodes():
+    """ControlPipeline.fsk4_block routes through fsk4_demod_block; the
+    full pipeline still decodes the control stream."""
+    import jax
+    from radiocapture_tpu.frontend.pipeline import ControlPipeline
+
+    dibits, expected = _make_control_stream(4)
+    iq = M.c4fm_modulate(dibits, fs=25000.0)
+    iq = M.upsample_to(iq, 25000.0, 200e3)
+    pipe = ControlPipeline.p25_c4fm(num_slots=2, samp_rate=200e3)
+    pipe.fsk4_block = 10
+    st = pipe.init()
+    offs = jnp.zeros(2, jnp.float32)
+    x = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+    n = len(iq) // pipe.block_multiple * pipe.block_multiple
+    got = []
+    blk = pipe.block_multiple
+    for i in range(n // blk):
+        st, (syms, valid, dib) = pipe.step(
+            st, jnp.asarray(x[i * blk:(i + 1) * blk]), offs)
+        v = np.asarray(valid[0]).astype(bool)
+        got.append(np.asarray(dib[0])[v])
+    rx = np.concatenate(got).astype(np.uint8)
+    frames = Framer().feed(rx)
+    grants = [t for fb in frames for t in P.parse_frame(fb).tsbks
+              if t.get("crc") == 0 and t["name"] == "GRP_V_CH_GRANT"]
+    assert len(grants) >= 2, f"{len(frames)} frames, {len(grants)} grants"
+
+
 def test_fsk4_batched_channels():
     """The scan kernel is vmappable over channel slots."""
     dibits, _ = _make_control_stream(2)

@@ -68,10 +68,11 @@ def main():
     # Interleaved round-robin: the tunneled device's throughput drifts
     # minute-to-minute, so variants are timed in alternating rounds and
     # compared by median — never by separate runs.
-    variants = [("base", dict(chunk=0, out_bf16=False)),
-                ("chunk5", dict(chunk=5, out_bf16=False)),
-                ("bf16out", dict(chunk=0, out_bf16=True)),
-                ("chunk5+bf16", dict(chunk=5, out_bf16=True))]
+    variants = [("default", dict(out_bf16=True)),
+                ("dims-arbitrary", dict(out_bf16=True,
+                                        dim_semantics="arbitrary")),
+                ("dims-parallel", dict(out_bf16=True,
+                                       dim_semantics="parallel"))]
     rot0, rowph = _pk.fused_rotation_tables(phase0, step_u, n_out)
 
     fns = []
