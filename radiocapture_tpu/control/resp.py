@@ -53,14 +53,21 @@ class _Incomplete(Exception):
     """A full reply is not yet buffered; recv more and re-parse."""
 
 
-def _parse_reply(buf: bytes, pos: int):
+_MAX_NEST = 32   # Redis itself never nests deeper than a few levels
+
+
+def _parse_reply(buf: bytes, pos: int, depth: int = 0):
     """Parse one RESP reply starting at ``buf[pos:]``.
 
     Returns ``(value, newpos)``; raises :class:`_Incomplete` when more
     bytes are needed. Server errors (``-``) are *returned* as
     :class:`RespError` instances rather than raised so that an error
-    nested inside an array still consumes its bytes.
+    nested inside an array still consumes its bytes. Nesting is capped
+    at ``_MAX_NEST`` so a hostile peer streaming ``*1\\r\\n`` forever
+    hits the ConnectionError contract, not RecursionError.
     """
+    if depth > _MAX_NEST:
+        raise ConnectionError("RESP nesting too deep")
     i = buf.find(b"\r\n", pos)
     if i < 0:
         raise _Incomplete
@@ -95,7 +102,7 @@ def _parse_reply(buf: bytes, pos: int):
             return buf[pos:pos + n], pos + n + 2
         items = []
         for _ in range(n):
-            v, pos = _parse_reply(buf, pos)
+            v, pos = _parse_reply(buf, pos, depth + 1)
             items.append(v)
         return items, pos
     raise ConnectionError(f"bad RESP type byte {t!r}")

@@ -23,11 +23,14 @@ Use as a :class:`radiocapture_tpu.runtime.SiteRuntime` provider::
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".."))
@@ -37,6 +40,9 @@ _lock = threading.Lock()
 _lib = None
 
 FORMATS = {"cf32": 0, "cs16": 1, "cs8": 2, "cu8": 3}
+# Wire formats for which the bf16 pop is bit-lossless (sample has ≤8
+# significant bits; bf16 mantissa is 8 bits).
+_BF16_LOSSLESS = {"cu8", "cs8"}
 
 
 def build_library(force: bool = False) -> str:
@@ -147,11 +153,22 @@ class IngestRing:
     def dropped(self) -> int:
         return self._lib.rc_ring_dropped(self._h)
 
-    def provider(self, strict: bool = True, bf16: bool = False):
+    def provider(self, strict: bool = True, bf16=False):
         """A SiteRuntime block provider. ``strict`` returns None when the
         ring can't fill a block (skip the step); non-strict zero-fills —
         live capture keeps real-time cadence through dropouts. ``bf16``
-        delivers blocks in the TPU compute dtype (see :meth:`pop_bf16`)."""
+        delivers blocks in the TPU compute dtype (see :meth:`pop_bf16`);
+        pass ``"auto"`` to enable it only for wire formats where the
+        conversion is lossless (8-bit cu8/cs8 — bf16 has an 8-bit
+        mantissa, so ≥12-bit cs16/cf32 sources would silently lose
+        precision)."""
+        if bf16 == "auto":
+            bf16 = self.fmt in _BF16_LOSSLESS
+        elif bf16 and self.fmt not in _BF16_LOSSLESS:
+            log.warning(
+                "bf16 ingest on %r wire format truncates to bf16's "
+                "8-bit mantissa; use bf16='auto' to gate on format",
+                self.fmt)
         if bf16:
             import ml_dtypes
 

@@ -555,7 +555,12 @@ def providers_from_config(cfg: RcConfig) -> tuple[dict, list]:
                 source_for_config
             s = source_for_config(src, idx)
             live.append(s)
-            providers[idx] = s.provider(bf16=cfg.ingest_bf16)
+            # "auto" gates the bf16 wire on the ring's sample format so
+            # the half-bandwidth pop only applies where it is lossless
+            # (rtl_tcp is cu8, so it engages here; a future >=12-bit
+            # source on the same knob stays float32).
+            providers[idx] = s.provider(
+                bf16="auto" if cfg.ingest_bf16 else False)
         else:
             raise ValueError(
                 f"source {idx}: no ingest path for type {src.type!r} "

@@ -80,9 +80,12 @@ class RcConfig:
     # TPU-native additions: slot-pool sizing for the batched pipelines.
     num_slots_per_source: int = 64
     block_seconds: float = 0.1    # streaming block length
-    # Live-SDR blocks ship host->device as bfloat16 re/im (lossless for
-    # the 8-bit RTL wire format, half the float32 stream; PERF.md §6).
-    # File replay stays float32 for capture fidelity.
+    # Live-SDR blocks ship host->device as bfloat16 re/im (half the
+    # float32 stream; PERF.md §6). Applied per source only where the
+    # wire format makes it lossless (8-bit cu8/cs8, e.g. rtl_tcp) —
+    # bf16's 8-bit mantissa would truncate 12-16-bit cs16/cf32 sources,
+    # so those stay float32 regardless of this knob. File replay is
+    # always float32 for capture fidelity.
     ingest_bf16: bool = True
 
     @classmethod

@@ -112,7 +112,10 @@ def test_resp_parser_survives_hostile_bytes():
     rng = np.random.default_rng(0xF7)
     cases = [b":abc\r\n", b"+\xff\xfe\r\n", b"-\xc3(\r\n",
              b"$zz\r\n", b"*999999999999\r\n", b"$99999999999\r\n",
-             b"*-7\r\n", b"?x\r\n", b"*2\r\n:1\r\n:nope\r\n"]
+             b"*-7\r\n", b"?x\r\n", b"*2\r\n:1\r\n:nope\r\n",
+             # deep nesting must hit the depth cap (ConnectionError),
+             # not blow the Python stack (ADVICE r4 medium)
+             b"*1\r\n" * 2000]
     cases += [bytes(rng.integers(0, 256, int(rng.integers(1, 200)))
                     .astype(np.uint8)) for _ in range(300)]
     for buf in cases:

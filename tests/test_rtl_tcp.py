@@ -38,6 +38,9 @@ def test_client_handshake_configure_and_stream():
     try:
         assert _wait(lambda: src.ring.available >= 4096)
         assert src.tuner_type == 5 and src.tuner_gain_count == 29
+        # the server reads commands on its own thread; samples can
+        # arrive before it has drained all five config writes
+        assert _wait(lambda: len(srv.commands) >= 5)
         cmds = dict(srv.commands)
         assert cmds[R.CMD_SET_SAMP_RATE] == 1_200_000
         assert cmds[R.CMD_SET_FREQ] == 857_000_000
