@@ -40,23 +40,38 @@ MOD_TO_STREAM = {
 
 
 class RecorderManager:
+    #: cap on retained open-latency samples (soak runs record many)
+    MAX_LATENCY_SAMPLES = 20000
+
     def __init__(self, bus, scheduler, audio_dir: str = "audio",
                  channel_fs: float = 25000.0, keep_wav: bool = False,
-                 require_stream=None):
+                 require_stream=None, now_fn=None):
         """``require_stream(source_idx, stream_cls)``: callback asking the
         capture loop to provision the named dibit pipeline on a source
         before the next block (lazy — TDMA/CQPSK voice classes only
-        compile when a system actually grants such a channel)."""
+        compile when a system actually grants such a channel).
+
+        ``now_fn``: the call managers' clock (SiteRuntime's stream or
+        wall clock) — used to measure grant→first-voice-block latency
+        on the same timeline the CDR ``time_open`` is stamped on."""
+        import time as _time
         self.bus = bus
         self.scheduler = scheduler
         self.audio_dir = audio_dir
         self.channel_fs = channel_fs
         self.keep_wav = keep_wav
         self.require_stream = require_stream
+        self.now = now_fn or _time.time
         self._lock = threading.RLock()
         # call_uuid -> (recorder, source_idx, slot_idx, block_id, kind)
         self.active: dict[str, tuple] = {}
         self._instances: set[str] = set()
+        #: grant→first-voice-block latency samples: (seconds, warm) —
+        #: the reference's idle-reuse economics deliver sub-second
+        #: grant-to-recording (rc_frontend/receiver.py:51,307-341);
+        #: this measures the slot-hysteresis equivalent end to end.
+        self.open_latencies: list[tuple[float, bool]] = []
+        self.grants_denied = 0
 
     # ---- demod presence lifecycle (call_recorder_manager.py:30-49) ----
     def notify_demod_new(self, dtype: str, instance_uuid: str,
@@ -89,17 +104,20 @@ class RecorderManager:
             if call_uuid in self.active:
                 return
             client = f"recorder-{cdr['instance_uuid'][:8]}"
-            alloc = self.scheduler.create_channel(
+            alloc = self.scheduler.create_channel_ex(
                 client, cdr.get("channel_bandwidth", 12500.0) * 2,
                 cdr["frequency"])
             if alloc is None:
                 log.warning("no slot for call %s @ %s", call_uuid,
                             cdr["frequency"])
+                self.grants_denied += 1
                 return
-            src, slot, block_id = alloc
+            src, slot, block_id, warm = alloc
             rec = CallRecorder(cdr, self.bus, audio_dir=self.audio_dir,
                                channel_fs=self.channel_fs,
                                keep_wav=self.keep_wav).open()
+            rec.alloc_warm = warm
+            rec.first_fed = False
             kind = MOD_TO_STREAM.get(cdr.get("modulation_type"),
                                      "analog")
             if kind != "analog" and self.require_stream is not None:
@@ -138,18 +156,38 @@ class RecorderManager:
         path yields garbage dibits that silently never sync)."""
         dibit_streams = dibit_streams or {}
         with self._lock:
-            entries = list(self.active.values())
+            entries = [e for e in self.active.values()
+                       if e[1] == source_idx and not e[0].closed]
+        if not entries:
+            return
+        # Materialize each consumed stream ONCE per block — a per-slot
+        # jax-array row fetch costs a full device sync, and N recorders
+        # on one source would pay it N times (measured 68 fetches/step
+        # at 32 open calls before hoisting).
+        kinds = {e[4] for e in entries}
+        if "analog" in kinds and audio is not None:
+            audio = np.asarray(audio)
+            power = np.asarray(power)
+        streams = {k: (np.asarray(d), np.asarray(v))
+                   for k, (d, v) in dibit_streams.items() if k in kinds}
         for rec, src, slot, _bid, kind in entries:
-            if src != source_idx or rec.closed:
-                continue
+            fed = False
             if kind == "analog":
                 if audio is not None:
-                    rec.feed_audio(np.asarray(audio[slot]),
-                                   float(power[slot]))
-            elif kind in dibit_streams:
-                dibits, valid = dibit_streams[kind]
-                v = np.asarray(valid[slot]).astype(bool)
-                rec.feed_dibits(np.asarray(dibits[slot])[v])
+                    rec.feed_audio(audio[slot], float(power[slot]))
+                    fed = True
+            elif kind in streams:
+                dibits, valid = streams[kind]
+                v = valid[slot].astype(bool)
+                rec.feed_dibits(dibits[slot][v])
+                fed = True
+            if fed and not getattr(rec, "first_fed", True):
+                rec.first_fed = True
+                lat = self.now() - rec.cdr.get("time_open", self.now())
+                if len(self.open_latencies) < self.MAX_LATENCY_SAMPLES:
+                    self.open_latencies.append(
+                        (float(lat), bool(getattr(rec, "alloc_warm",
+                                                  False))))
 
     def heartbeat_clients(self) -> None:
         """Keep recorder slot claims alive (frontend_connector.py:197)."""

@@ -67,9 +67,16 @@ class ChannelScheduler:
     MAX_AFC_HZ = 1200.0       # receiver.py:464-466 sanity clamp
 
     def __init__(self, sources: dict[int, tuple[float, float]],
-                 num_slots: int = 64):
-        """sources: {index: (center_freq_hz, samp_rate)}."""
+                 num_slots: int = 64, now_fn=None):
+        """sources: {index: (center_freq_hz, samp_rate)}.
+
+        ``now_fn``: clock for the idle-reuse window and client TTLs
+        (default wall monotonic). Stream-clocked runtimes pass their
+        block clock so slot hysteresis follows *stream* time — offline
+        decode faster or slower than real time keeps the reference's
+        10 s/5 s economics instead of the host's wall speed."""
         self._lock = threading.RLock()
+        self.now = now_fn or time.monotonic
         self.sources = {
             idx: SourceSlots(center_freq=cf, samp_rate=sr,
                              num_slots=num_slots)
@@ -80,13 +87,13 @@ class ChannelScheduler:
     # ---- the reference's RPC verbs (frontend_connector.py:127-192) ----
     def connect(self, client: str) -> None:
         with self._lock:
-            self._clients[client] = time.monotonic()
+            self._clients[client] = self.now()
 
     def heartbeat(self, client: str) -> bool:
         with self._lock:
             if client not in self._clients:
                 return False
-            self._clients[client] = time.monotonic()
+            self._clients[client] = self.now()
             return True
 
     def create_channel(self, client: str, rate: float, freq: float
@@ -98,16 +105,25 @@ class ChannelScheduler:
         reuse window) is retuned in place before a FREE slot is taken
         (receiver.py:307-341).
         """
+        ex = self.create_channel_ex(client, rate, freq)
+        return None if ex is None else ex[:3]
+
+    def create_channel_ex(self, client: str, rate: float, freq: float
+                          ) -> tuple[int, int, int, bool] | None:
+        """:meth:`create_channel` plus a ``warm`` flag: True when the
+        allocation retuned an idle slot in place (the reference's
+        sub-second channel-reuse economics, receiver.py:307-319), False
+        when it claimed a cold FREE slot."""
         with self._lock:
-            self._clients.setdefault(client, time.monotonic())
+            self._clients.setdefault(client, self.now())
             src_idx = self._route(freq)
             if src_idx is None:
                 return None
             pool = self.sources[src_idx]
-            pick = None
+            pick, warm = None, False
             for i, s in enumerate(pool.slots):
                 if s.state == IDLE:
-                    pick = i
+                    pick, warm = i, True
                     break
             if pick is None:
                 for i, s in enumerate(pool.slots):
@@ -120,7 +136,7 @@ class ChannelScheduler:
             s.state, s.freq, s.rate, s.client = ACTIVE, freq, rate, client
             s.block_id = self._next_block_id
             self._next_block_id += 1
-            return src_idx, pick, s.block_id
+            return src_idx, pick, s.block_id, warm
 
     def release_channel(self, client: str, block_id: int) -> bool:
         with self._lock:
@@ -129,7 +145,7 @@ class ChannelScheduler:
                     if s.block_id == block_id and s.client == client:
                         s.state = IDLE
                         s.client = None
-                        s.close_time = time.monotonic()
+                        s.close_time = self.now()
                         return True
             return False
 
@@ -163,7 +179,7 @@ class ChannelScheduler:
 
     # ---- periodic maintenance (receiver.py:635-680) ----
     def reap(self, now: float | None = None) -> None:
-        now = time.monotonic() if now is None else now
+        now = self.now() if now is None else now
         with self._lock:
             for client, last in list(self._clients.items()):
                 if now - last > self.CLIENT_TTL_S:
@@ -182,7 +198,7 @@ class ChannelScheduler:
                 if s.client == client:
                     s.state = IDLE
                     s.client = None
-                    s.close_time = time.monotonic()
+                    s.close_time = self.now()
 
     def _route(self, freq: float) -> int | None:
         """Source with minimum |freq − center| that covers freq

@@ -182,7 +182,8 @@ class SiteRuntime:
         self.scheduler = ChannelScheduler(
             {i: (s.center_freq, s.samp_rate)
              for i, s in cfg.sources.items()},
-            num_slots=cfg.num_slots_per_source)
+            num_slots=cfg.num_slots_per_source,
+            now_fn=lambda: self.now())
         # one pipeline per (source, symbol class) actually needed
         self.pipelines: dict[tuple, object] = {}
         self.pipe_state: dict[tuple, object] = {}
@@ -224,7 +225,8 @@ class SiteRuntime:
         self.recorders = RecorderManager(self.bus, self.scheduler,
                                          audio_dir=cfg.audio_dir,
                                          keep_wav=keep_wav,
-                                         require_stream=self._require_stream)
+                                         require_stream=self._require_stream,
+                                         now_fn=lambda: self.now())
         self.metadata = MetadataAgent(self.bus, self.get_instance)
         # Talkgroup filters: reference-style cfg.blacklists (keyed by
         # system id) merged with per-system blacklist/whitelist fields.
@@ -368,16 +370,18 @@ class SiteRuntime:
                 st, out = pipe.step(self.pipe_state[(s, cls)], x, offs)
                 self.pipe_state[(s, cls)] = st
                 outputs[cls] = out
-            # control instances
-            for inst in self.instances:
-                if inst.source_idx != src_idx or inst.slot is None:
-                    continue
-                out = outputs.get(inst.cls)
-                if out is None:
-                    continue
-                syms, valid, dibits = out
-                v = np.asarray(valid[inst.slot]).astype(bool)
-                inst.feed(np.asarray(dibits[inst.slot])[v])
+            # control instances: fetch each consumed stream once per
+            # block (per-slot jax row fetches cost a device sync each)
+            cc_insts = [i for i in self.instances
+                        if i.source_idx == src_idx and i.slot is not None
+                        and i.cls in outputs]
+            cc_np = {cls: (np.asarray(outputs[cls][1]),
+                           np.asarray(outputs[cls][2]))
+                     for cls in {i.cls for i in cc_insts}}
+            for inst in cc_insts:
+                valid, dibits = cc_np[inst.cls]
+                v = valid[inst.slot].astype(bool)
+                inst.feed(dibits[inst.slot][v])
             if self._deterministic and hasattr(self.bus, "flush"):
                 # Offline decode: drain grant -> call manager -> new_call
                 # -> recorder-open before this block's voice feed, so
