@@ -561,15 +561,27 @@ def providers_from_config(cfg: RcConfig) -> tuple[dict, list]:
             live.append(s)
             # "auto" gates the bf16 wire on the ring's sample format so
             # the half-bandwidth pop only applies where it is lossless
-            # (rtl_tcp is cu8, so it engages here; a future >=12-bit
-            # source on the same knob stays float32).
+            # (rtl_tcp is cu8, so it engages here; the >=12-bit rciq
+            # sources below stay float32 on the same knob).
+            providers[idx] = s.provider(
+                bf16="auto" if cfg.ingest_bf16 else False)
+        elif src.type in ("usrp", "usrp2x", "bladerf"):
+            # ≥12-bit radios live on a driver host running UHD/SoapySDR
+            # (tools/driver_host_sender.py) and stream cs16/cf32 over
+            # the rciq protocol — the reference's in-process UHD/osmosdr
+            # init (rc_frontend/receiver.py:88-169) moved off-host. A
+            # 2-ch usrp2x is two SourceConfigs on two sender ports.
+            from radiocapture_tpu.frontend.rciq import source_for_config
+            s = source_for_config(src, idx)
+            live.append(s)
             providers[idx] = s.provider(
                 bf16="auto" if cfg.ingest_bf16 else False)
         else:
             raise ValueError(
                 f"source {idx}: no ingest path for type {src.type!r} "
-                "(file and rtlsdr are wired; usrp/bladerf need a "
-                "driver host feeding UdpFeed or IngestRing directly)")
+                "(file, rtlsdr, usrp, usrp2x, bladerf are wired; other "
+                "hardware needs a driver host feeding UdpFeed or "
+                "IngestRing directly)")
     return providers, live
 
 
