@@ -290,6 +290,14 @@ class CallRecorder:
             np.packbits(np.concatenate(self._tdma.voice_frames)).tofile(
                 sidecar)
             self.cdr["errors"] = self.errors
+        if self._tdma is not None and self._tdma.ess is not None:
+            # ESS-A from the slot's 2V bursts: tag encrypted calls at
+            # capture time (ALGID 0x80 = clear per TIA-102; anything
+            # else means the .vb sidecar holds ciphertext). Evidentiary
+            # metadata the reference never extracted.
+            self.cdr["algid"] = self._tdma.ess["algid"]
+            self.cdr["keyid"] = self._tdma.ess["keyid"]
+            self.cdr["p25_mi"] = f"0x{self._tdma.ess['mi']:018x}"
         filename = self.filename
         if self.wav is not None:
             self.wav.close()

@@ -434,12 +434,17 @@ class TdmaFramer:
 def build_superframe(nac: int, sysid: int, wacn: int,
                      voice: dict[int, list[np.ndarray]],
                      mac: dict[int, np.ndarray] | None = None,
-                     superframe: int = 0) -> np.ndarray:
+                     superframe: int = 0,
+                     ess_a: dict[int, np.ndarray] | None = None
+                     ) -> np.ndarray:
     """One 2160-dibit superframe.  ``voice[chn]`` supplies up to 18
     codewords (72 bits each) for TDMA channel chn; ``mac[chn]`` the
-    320-bit SACCH payload.  Inverse of :class:`TdmaFramer`."""
+    320-bit SACCH payload; ``ess_a[chn]`` the 96-bit encryption sync
+    (MI 72 + ALGID 8 + KeyID 16) carried by the channel's 2V burst.
+    Inverse of :class:`TdmaFramer`."""
     key = L.keystream_dibits(nac, sysid, wacn)
     mac = mac or {}
+    ess_a = ess_a or {}
     vq = {0: list(voice.get(0, [])), 1: list(voice.get(1, []))}
     chunks = []
     for i in range(SUPERFRAME_BURSTS):
@@ -452,6 +457,9 @@ def build_superframe(nac: int, sysid: int, wacn: int,
                 vc = (vq[chn].pop(0) if vq[chn]
                       else np.zeros(VOICE_BITS, np.uint8))
                 bits[j * VOICE_BITS:(j + 1) * VOICE_BITS] = vc
+            if kind == BURST_2V and chn in ess_a:
+                bits[144:144 + ESS_A_BITS] = np.asarray(
+                    ess_a[chn], np.uint8)
         else:
             payload = mac.get(chn)
             if payload is None:
@@ -470,7 +478,9 @@ def build_tdma_stream(nac: int, sysid: int, wacn: int,
                       voice: dict[int, list[np.ndarray]],
                       mac: dict[int, np.ndarray] | None = None,
                       n_superframes: int = 1,
-                      lead_dibits: int = 37) -> np.ndarray:
+                      lead_dibits: int = 37,
+                      ess_a: dict[int, np.ndarray] | None = None
+                      ) -> np.ndarray:
     """Fixture stream: junk lead-in + n scrambled superframes.  Voice
     codewords are consumed across superframes (18 per channel each)."""
     rng = np.random.default_rng(1234)
@@ -482,7 +492,7 @@ def build_tdma_stream(nac: int, sysid: int, wacn: int,
         for c in (0, 1):
             vq[c] = vq[c][18:]
         chunks.append(build_superframe(nac, sysid, wacn, take, mac,
-                                       superframe=sf))
+                                       superframe=sf, ess_a=ess_a))
     return np.concatenate(chunks)
 
 
@@ -501,6 +511,11 @@ class TdmaVoiceReceiver:
         self.bursts = 0
         self.ended = False
         self.last_mac: dict | None = None
+        #: latest ESS-A seen on our slot's 2V burst: {"mi", "algid",
+        #: "keyid"} — tags encrypted calls at capture time (ALGID 0x80
+        #: = clear per TIA-102; anything else means the voice codewords
+        #: are ciphertext). The reference never surfaced this.
+        self.ess: dict | None = None
 
     def feed(self, dibits: np.ndarray) -> int:
         """Returns the number of voice bursts seen for our slot."""
@@ -512,6 +527,11 @@ class TdmaVoiceReceiver:
             if b.voice:
                 n += 1
                 self.voice_frames.extend(b.voice)
+            if b.kind == BURST_2V and b.ess is not None \
+                    and len(b.ess) == ESS_A_BITS:
+                self.ess = {"mi": B.bits_to_int(b.ess[:72]),
+                            "algid": B.bits_to_int(b.ess[72:80]),
+                            "keyid": B.bits_to_int(b.ess[80:96])}
             if b.mac_msg is not None:
                 self.last_mac = b.mac_msg
                 if b.mac_msg["opcode"] in (MAC_END_PTT, MAC_IDLE):
