@@ -66,6 +66,15 @@ class _Incomplete(Exception):
     pass
 
 
+def _parse_hb(v: str) -> tuple[int, int]:
+    """'sx,sy' heart-beat header → ints (malformed → 0,0 = disabled)."""
+    try:
+        a, b = str(v).split(",", 1)
+        return max(0, int(a)), max(0, int(b))
+    except ValueError:
+        return 0, 0
+
+
 def parse_frame(buf: bytes, pos: int):
     """One frame from ``buf[pos:]`` → ((command, headers, body), newpos);
     raises _Incomplete when more bytes are needed.  Heart-beat EOLs
@@ -110,16 +119,33 @@ class StompClient:
     """Minimal STOMP 1.2 client: CONNECT/SEND/SUBSCRIBE/ACK with a
     reader thread, auto-reconnect, and re-subscribe on reconnect
     (the reference re-subscribes everything from its handler thread,
-    client_activemq.py:82-103)."""
+    client_activemq.py:82-103).
+
+    Heart-beats are negotiated per the 1.2 spec (the reference asks
+    stompest for them too, client_activemq.py:70,99): ``heartbeat`` is
+    the (cx, cy) ms pair offered on CONNECT — we can send every cx, we
+    want to hear every cy; the CONNECTED reply's (sx, sy) yields an
+    outgoing EOL cadence of max(cx, sy) and a dead-broker detector at
+    2·max(cy, sx) of silence, which turns a half-open TCP connection
+    (broker host drops off the network mid-call) into a reconnect
+    instead of an indefinitely-stuck durable tier."""
 
     def __init__(self, host: str = "localhost", port: int = 61613,
-                 reconnect_s: float = 0.5, vhost: str = "/"):
+                 reconnect_s: float = 0.5, vhost: str = "/",
+                 heartbeat: tuple[int, int] = (10000, 10000)):
         self.host, self.port = host, port
         self.vhost = vhost
         self.reconnect_s = reconnect_s
+        self.heartbeat = (int(heartbeat[0]), int(heartbeat[1]))
         self.connection_issue = True
         self.connects = 0
+        self.heartbeat_timeouts = 0
+        self._send_every = 0.0    # negotiated outgoing period (s)
+        self._recv_within = 0.0   # negotiated incoming deadline (s)
+        self._last_sent = 0.0
+        self._last_recv = 0.0
         self._subs: dict[str, tuple[str, object]] = {}  # dest->(id, cb)
+        self._receipts: dict[str, threading.Event] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._running = True
@@ -145,8 +171,27 @@ class StompClient:
             raise ConnectionError("not connected")
         try:
             s.sendall(encode_frame("SEND", hdrs, body))
+            self._last_sent = time.monotonic()
         except OSError as e:
             raise ConnectionError(str(e)) from e
+
+    def send_with_receipt(self, destination: str, body: bytes | str,
+                          headers: dict | None = None,
+                          timeout: float = 5.0) -> bool:
+        """SEND with a ``receipt`` header; True once the broker's
+        RECEIPT frame arrives — the durable tier's delivery handshake
+        (a plain SEND only proves the kernel accepted the bytes)."""
+        rid = str(_uuid.uuid4())
+        ev = threading.Event()
+        with self._lock:
+            self._receipts[rid] = ev
+        try:
+            self.send(destination, body,
+                      {**(headers or {}), "receipt": rid})
+            return ev.wait(timeout)
+        finally:
+            with self._lock:
+                self._receipts.pop(rid, None)
 
     def subscribe(self, destination: str, callback) -> str:
         """callback(headers, body_bytes); auto-ack like the reference
@@ -181,13 +226,20 @@ class StompClient:
                                              timeout=5.0)
                 s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                 s.settimeout(0.5)
+                cx, cy = self.heartbeat
                 s.sendall(encode_frame("CONNECT", {
                     "accept-version": "1.2", "host": self.vhost,
-                    "heart-beat": "0,0"}))
+                    "heart-beat": f"{cx},{cy}"}))
                 buf = b""
+                self._last_recv = time.monotonic()
                 frame, buf = self._read_frame(s, buf)
                 if frame[0] != "CONNECTED":
                     raise ConnectionError(f"broker said {frame[0]}")
+                sx, sy = _parse_hb(frame[1].get("heart-beat", "0,0"))
+                self._send_every = (max(cx, sy) / 1e3
+                                    if cx and sy else 0.0)
+                self._recv_within = (max(cy, sx) / 1e3
+                                     if cy and sx else 0.0)
                 with self._lock:
                     self._sock = s
                     subs = list(self._subs.items())
@@ -197,14 +249,33 @@ class StompClient:
                 self.connects += 1
                 self.connection_issue = False
                 self._connected.set()
+                self._last_sent = self._last_recv = time.monotonic()
                 while self._running:
                     try:
                         frame, buf = self._read_frame(s, buf)
                     except socket.timeout:
+                        now = time.monotonic()
+                        if self._send_every and \
+                                now - self._last_sent >= self._send_every:
+                            s.sendall(b"\n")       # heart-beat EOL
+                            self._last_sent = now
+                        if self._recv_within and \
+                                now - self._last_recv > \
+                                2 * self._recv_within:
+                            self.heartbeat_timeouts += 1
+                            raise ConnectionError(
+                                "heart-beat timeout (broker silent "
+                                f"{now - self._last_recv:.1f} s)")
                         continue
                     cmd, headers, body = frame
                     if cmd == "MESSAGE":
                         self._dispatch(headers, body)
+                    elif cmd == "RECEIPT":
+                        with self._lock:
+                            ev = self._receipts.get(
+                                headers.get("receipt-id", ""))
+                        if ev is not None:
+                            ev.set()
                     elif cmd == "ERROR":
                         log.warning("STOMP ERROR: %s",
                                     headers.get("message"))
@@ -217,10 +288,11 @@ class StompClient:
                     log.debug("stomp reconnect after: %s", e)
                     time.sleep(self.reconnect_s)
 
-    @staticmethod
-    def _read_frame(s: socket.socket, buf: bytes):
+    def _read_frame(self, s: socket.socket, buf: bytes):
         """Resumable frame read: bytes only consumed once complete
-        (socket timeouts preserve the buffered prefix)."""
+        (socket timeouts preserve the buffered prefix). Any received
+        bytes — including bare heart-beat EOLs — refresh the liveness
+        clock."""
         while True:
             try:
                 frame, pos = parse_frame(buf, 0)
@@ -229,6 +301,7 @@ class StompClient:
                 chunk = s.recv(65536)
                 if not chunk:
                     raise ConnectionError("peer closed")
+                self._last_recv = time.monotonic()
                 buf += chunk
 
     def _dispatch(self, headers: dict, body: bytes) -> None:
@@ -265,15 +338,23 @@ class StompBus:
     logging_receiver.py:550, client_activemq.py:144-169).
 
     - lazy tier: SEND with ``persistent: false``; dropped when down.
-    - hopeful tier: SEND with ``persistent: true``, queued and drained
-      with requeue-at-head on failure (reconnect-requeue).
+    - hopeful tier: SEND with ``persistent: true`` **confirmed by a
+      broker RECEIPT** (a bare SEND only proves the kernel took the
+      bytes), queued and drained with requeue-at-head on failure
+      (reconnect-requeue).
     - both carry the reference's ``time_queued``/``time_sent`` latency
       headers; deliveries older than ``latency_warn_s`` are counted.
+    - heart-beats negotiated on by default (StompClient.heartbeat) so a
+      half-open broker connection reconnects instead of wedging.
     """
 
     def __init__(self, host: str = "localhost", port: int = 61613,
-                 latency_warn_s: float = 0.1, retry_s: float = 0.25):
-        self.client = StompClient(host, port, reconnect_s=retry_s)
+                 latency_warn_s: float = 0.1, retry_s: float = 0.25,
+                 heartbeat: tuple[int, int] = (10000, 10000),
+                 receipt_timeout_s: float = 5.0):
+        self.client = StompClient(host, port, reconnect_s=retry_s,
+                                  heartbeat=heartbeat)
+        self.receipt_timeout_s = receipt_timeout_s
         self.latency_warn_s = latency_warn_s
         self.latency_warnings = 0
         self.retry_s = retry_s
@@ -321,7 +402,10 @@ class StompBus:
                 self._inflight += 1
             try:
                 hdrs["time_sent"] = time.time()
-                self.client.send(dest, data, hdrs)
+                if not self.client.send_with_receipt(
+                        dest, data, hdrs,
+                        timeout=self.receipt_timeout_s):
+                    raise ConnectionError("no broker RECEIPT")
                 with self._cv:
                     self._inflight -= 1
             except Exception:
@@ -366,10 +450,20 @@ class MiniStompServer:
     """In-process STOMP 1.2 broker for tests/single-box deployments:
     CONNECT/CONNECTED, SEND routing, SUBSCRIBE fan-out for ``/topic/*``,
     queue semantics for ``/queue/*`` (persistent SENDs are retained
-    until a subscriber exists, then delivered round-robin), DISCONNECT.
-    ``drop_connections()`` simulates a broker bounce."""
+    until a subscriber exists, then delivered round-robin), RECEIPT
+    for any frame carrying a ``receipt`` header, heart-beat negotiation
+    + emission + client-liveness enforcement (ActiveMQ's first-contact
+    behaviors), DISCONNECT. ``drop_connections()`` simulates a broker
+    bounce.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    ``heartbeat`` is the broker's (sx, sy) CONNECTED offer; like
+    ActiveMQ, a negotiated-silent client is disconnected after 2× the
+    incoming deadline."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 heartbeat: tuple[int, int] = (5000, 5000)):
+        self.heartbeat = (int(heartbeat[0]), int(heartbeat[1]))
+        self.hb_disconnects = 0
         self._lock = threading.RLock()
         # dest -> [(conn, sub_id, send_lock)]
         self._subs: dict[str, list] = {}
@@ -401,23 +495,48 @@ class MiniStompServer:
         send_lock = threading.Lock()
         my_subs: list[tuple[str, str]] = []
         buf = b""
+        conn.settimeout(0.25)
+        sx, sy = self.heartbeat
+        send_every = recv_within = 0.0
+        last_sent = last_recv = time.monotonic()
         try:
             while self._running:
                 try:
                     frame, pos = parse_frame(buf, 0)
                     buf = buf[pos:]
                 except _Incomplete:
-                    chunk = conn.recv(65536)
+                    try:
+                        chunk = conn.recv(65536)
+                    except socket.timeout:
+                        now = time.monotonic()
+                        if send_every and \
+                                now - last_sent >= send_every:
+                            with send_lock:
+                                conn.sendall(b"\n")
+                            last_sent = now
+                        if recv_within and \
+                                now - last_recv > 2 * recv_within:
+                            self.hb_disconnects += 1
+                            return   # client presumed dead (ActiveMQ)
+                        continue
                     if not chunk:
                         return
+                    last_recv = time.monotonic()
                     buf += chunk
                     continue
                 cmd, headers, body = frame
                 self.frames.append((cmd, headers))
                 if cmd in ("CONNECT", "STOMP"):
+                    cx, cy = _parse_hb(headers.get("heart-beat", "0,0"))
+                    send_every = (max(sx, cy) / 1e3
+                                  if sx and cy else 0.0)
+                    recv_within = (max(sy, cx) / 1e3
+                                   if sy and cx else 0.0)
                     with send_lock:
                         conn.sendall(encode_frame(
-                            "CONNECTED", {"version": "1.2"}))
+                            "CONNECTED", {"version": "1.2",
+                                          "heart-beat": f"{sx},{sy}"}))
+                    last_sent = time.monotonic()
                 elif cmd == "SUBSCRIBE":
                     dest = headers.get("destination", "")
                     sid = headers.get("id", "")
@@ -438,7 +557,13 @@ class MiniStompServer:
                                 if not (e[0] is conn and e[1] == sid)]
                 elif cmd == "SEND":
                     self._route(headers, body)
-                elif cmd == "DISCONNECT":
+                rid = headers.get("receipt")
+                if rid is not None:     # RECEIPT for any receipted frame
+                    with send_lock:
+                        conn.sendall(encode_frame(
+                            "RECEIPT", {"receipt-id": rid}))
+                    last_sent = time.monotonic()
+                if cmd == "DISCONNECT":
                     return
         except OSError:
             pass
