@@ -278,11 +278,27 @@ class CallRecorder:
             self.cdr["provoice_codewords"] = len(
                 self._provoice.voice_frames)
             self.cdr["provoice_variant"] = self._provoice.variant
+            # measured inter-sync cadence (self-calibrated when the
+            # stream contradicts the reconstructed 768-bit superframe)
+            self.cdr["provoice_cadence_bits"] = \
+                self._provoice.cadence_bits
+            self.cdr["provoice_cadence_adapted"] = \
+                self._provoice.cadence_adapted
             self.cdr["errors"] = self.errors
             if self._provoice.voice_frames:
                 sidecar = self.filename[:-4] + ".pv"
                 np.packbits(np.concatenate(
                     self._provoice.voice_frames)).tofile(sidecar)
+                import json as _json
+                with open(sidecar + ".json", "w") as f:
+                    _json.dump({
+                        "variant": self._provoice.variant,
+                        "cadence_bits": self._provoice.cadence_bits,
+                        "cadence_adapted":
+                            self._provoice.cadence_adapted,
+                        "superframes": self._provoice.superframes,
+                        "codewords": len(self._provoice.voice_frames),
+                        "codeword_bits": 168}, f)
         if self._tdma is not None and self._tdma.voice_frames:
             # AMBE+2 audio decode is out of scope (imbe.h); keep the raw
             # voice codewords so the recording retains evidentiary value.

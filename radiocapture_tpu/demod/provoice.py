@@ -20,14 +20,19 @@ Provenance (same discipline as the I-ISCH header, demod/tdma.py):
   PROVOICE_EA_SYNC / INV_*); 9600 bps binary FSK; the vocoder is IMBE
   7100x4400 with a 168-bit interleaved frame per 20 ms (mbelib's
   7x24 layout).
-* RECONSTRUCTED: the inter-sync cadence.  This build uses an 80 ms
+* RECONSTRUCTED: the inter-sync cadence.  This build assumes an 80 ms
   superframe — sync(32) + 4 x 168-bit voice codewords + 64 aux bits =
   768 bits = exactly 4 vocoder frames at 9600 bps — which is
   self-consistent (voice cadence preserved with no gaps) but NOT
-  verified against an off-air capture; the framer therefore also
-  resynchronizes on every superframe boundary with error tolerance,
-  so a cadence mismatch degrades to sync-rate-limited capture rather
-  than silent garbage.
+  verified against an off-air capture.  The framer therefore
+  **self-calibrates**: it histograms the intervals between detected
+  syncs at runtime, and when a consistent cadence contradicting the
+  assumed stride emerges (``CADENCE_VOTES`` agreeing intervals), it
+  adapts its stride to the measured value — a wrong reconstruction
+  degrades to a few sync-rate-limited superframes and then corrects
+  itself.  The measured cadence is recorded in the CDR
+  (``provoice_cadence_bits``) and the ``.pv`` sidecar's companion
+  JSON.
 
 In DSD's symbol alphabet the sync strings use '1' (positive outer
 deviation) and '3' (negative); the EDACS pipeline slices positive
@@ -68,6 +73,14 @@ SYNC_TOLERANCE = 3
 #: dropping carrier lock (sync loss → search from scratch)
 MAX_SYNC_COAST = 1
 
+#: cadence self-calibration: adapt the stride once this many observed
+#: inter-sync intervals agree on a value that contradicts the current
+#: stride; sane range for one superframe (≥ sync + 1 codeword, ≤ 16
+#: vocoder frames).
+CADENCE_VOTES = 4
+CADENCE_MIN = SYNC_BITS + VOICE_BITS
+CADENCE_MAX = SYNC_BITS + 16 * VOICE_BITS
+
 
 @dataclass
 class ProVoiceFrame:
@@ -101,6 +114,38 @@ class ProVoiceFramer:
         self._inverted = False
         self._coast = 0
         self.sync_losses = 0
+        #: current inter-sync stride (bits); starts at the reconstructed
+        #: 768 and self-calibrates from observed sync intervals.
+        self.stride = SUPERFRAME_BITS
+        self.cadence_adapted = False
+        self._abs = 0                     # absolute index of _buf[0]
+        self._sync_pos: list[int] = []    # absolute detected-sync starts
+
+    def _trim(self, n: int) -> None:
+        self._buf = self._buf[n:]
+        self._abs += n
+
+    def _saw_sync(self, pos: int | None = None) -> None:
+        """Record a detected sync start (absolute bit position) and
+        recalibrate the stride when enough observed intervals agree on
+        a different cadence (module docstring: the 768 is
+        RECONSTRUCTED)."""
+        pos = self._abs if pos is None else pos
+        if self._sync_pos and pos <= self._sync_pos[-1]:
+            return
+        self._sync_pos.append(pos)
+        if len(self._sync_pos) > 64:
+            del self._sync_pos[0]
+        d = np.diff(self._sync_pos)
+        d = d[(d >= CADENCE_MIN) & (d <= CADENCE_MAX)]
+        if len(d) < CADENCE_VOTES:
+            return
+        vals, counts = np.unique(d, return_counts=True)
+        mode = int(vals[int(np.argmax(counts))])
+        if int(counts.max()) >= CADENCE_VOTES and mode != self.stride:
+            self.stride = mode
+            self.cadence_adapted = True
+            self._sync_pos = self._sync_pos[-1:]
 
     def feed(self, bits: np.ndarray) -> list[ProVoiceFrame]:
         self._buf = np.concatenate(
@@ -111,17 +156,18 @@ class ProVoiceFramer:
                 idx = self._find_sync(self._buf)
                 if idx is None:
                     keep = max(0, len(self._buf) - SYNC_BITS + 1)
-                    self._buf = self._buf[keep:]
+                    self._trim(keep)
                     return out
-                self._buf = self._buf[idx:]
+                self._trim(idx)
                 name, _ = _best_sync(self._buf[:SYNC_BITS])
                 self._variant = "pv_ea" if "ea" in name else "pv"
                 self._inverted = name.endswith("_inv")
                 self._synced = True
                 self._coast = 0
-            if len(self._buf) < SUPERFRAME_BITS:
+                self._saw_sync()
+            if len(self._buf) < self.stride:
                 return out
-            sf = self._buf[:SUPERFRAME_BITS]
+            sf = self._buf[:self.stride]
             name, errs = _best_sync(sf[:SYNC_BITS])
             variant = "pv_ea" if "ea" in name else "pv"
             if errs > SYNC_TOLERANCE or variant != self._variant:
@@ -129,11 +175,19 @@ class ProVoiceFramer:
                 if self._coast > MAX_SYNC_COAST:
                     self._synced = False
                     self.sync_losses += 1
-                    self._buf = self._buf[1:]
+                    self._trim(1)
                     continue
             else:
                 self._coast = 0
                 self._inverted = name.endswith("_inv")
+                self._saw_sync()
+            # cadence estimator: a sync appearing INSIDE the frame
+            # window means the true inter-sync interval is shorter than
+            # the stride — record it so the histogram sees the real
+            # cadence instead of resync multiples.
+            inner = self._find_sync(sf[SYNC_BITS:])
+            if inner is not None:
+                self._saw_sync(self._abs + SYNC_BITS + inner)
             body = sf[SYNC_BITS:]
             if self._inverted:
                 body = body ^ 1        # undo inverted FM sense
@@ -141,12 +195,14 @@ class ProVoiceFramer:
                                inverted=self._inverted,
                                sync_errors=errs if errs <= SYNC_BITS
                                else 0)
-            for j in range(VOICE_PER_SUPERFRAME):
+            n_voice = min(VOICE_PER_SUPERFRAME,
+                          (self.stride - SYNC_BITS) // VOICE_BITS)
+            for j in range(n_voice):
                 fr.voice.append(
                     body[j * VOICE_BITS:(j + 1) * VOICE_BITS].copy())
-            fr.aux = body[VOICE_PER_SUPERFRAME * VOICE_BITS:].copy()
+            fr.aux = body[n_voice * VOICE_BITS:].copy()
             out.append(fr)
-            self._buf = self._buf[SUPERFRAME_BITS:]
+            self._trim(self.stride)
 
     @staticmethod
     def _find_sync(buf: np.ndarray) -> int | None:
@@ -185,6 +241,15 @@ class ProVoiceReceiver:
     @property
     def sync_losses(self) -> int:
         return self.framer.sync_losses
+
+    @property
+    def cadence_bits(self) -> int:
+        """Operating inter-sync stride (self-calibrated at runtime)."""
+        return self.framer.stride
+
+    @property
+    def cadence_adapted(self) -> bool:
+        return self.framer.cadence_adapted
 
 
 # ---------------------------------------------------------------- encode
