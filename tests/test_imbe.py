@@ -324,3 +324,70 @@ def test_recorder_uses_native_vocoder(tmp_path):
         bus.close()
     finally:
         set_default_vocoder(None)
+
+
+def test_closed_loop_envelope_bound():
+    """Encode→decode a speech-like signal (pitch glide + band-mixed
+    voicing) and bound the spectral-envelope error — the aggregate
+    closed-loop cost of the ledger's four [R] quantization surfaces
+    (native/imbe/imbe_tables.h CLOSED-LOOP BOUND; r4 VERDICT #10).
+    Measured 5.4–5.8 dB RMS on this fixture; asserted ≤ 8 dB."""
+    rng = np.random.default_rng(5)
+    n = 8000
+    t = np.arange(n)
+    f0 = 120.0 + 80.0 * t / n            # pitch glide 120 -> 200 Hz
+    phase = 2 * np.pi * np.cumsum(f0) / 8000.0
+
+    def formant(f):
+        return (1.0 / (1 + ((f - 500) / 300) ** 2)
+                + 0.6 / (1 + ((f - 1500) / 400) ** 2)
+                + 0.25 / (1 + ((f - 2500) / 500) ** 2))
+
+    x = np.zeros(n)
+    for h in range(1, 16):
+        fh = h * f0
+        x += (formant(np.clip(fh, 0, 3900)) * (fh < 3700)
+              * np.cos(h * phase + 0.3 * h * h))
+    noise = rng.standard_normal(n + 64)
+    k = np.arange(64)
+    bp = (np.sinc((k - 31.5) * (3800 - 2400) / 8000.0)
+          * np.cos(2 * np.pi * 3100 / 8000.0 * (k - 31.5))
+          * np.hamming(64))
+    hi = np.convolve(noise, bp, "valid")[:n]
+    x = x / np.abs(x).max() + 0.35 * hi / np.abs(hi).max()
+    pcm = (x / np.abs(x).max() * 16000).astype(np.int16)
+
+    enc = I.ImbeEncoder()
+    dec = I.ImbeVocoder()
+    out = []
+    for i in range(0, len(pcm) - 160, 160):
+        out.append(dec.decode(enc.encode(pcm[i:i + 160])))
+    y = np.concatenate(out).astype(np.float64)
+    xx = pcm[:len(y)].astype(np.float64)
+
+    def band_env(sig, nband=24):
+        frames = []
+        edges = np.linspace(200, 3400, nband + 1)
+        freqs = np.fft.rfftfreq(256, 1 / 8000.0)
+        for i in range(0, len(sig) - 256, 160):
+            S = np.abs(np.fft.rfft(sig[i:i + 256]
+                                   * np.hanning(256))) ** 2
+            e = [S[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                 for b in range(nband)]
+            frames.append(10 * np.log10(np.maximum(e, 1e-3)))
+        return np.array(frames)
+
+    ex, ey = band_env(xx), band_env(y)
+    # allow a one-frame analysis-window lag and per-frame gain offset
+    best = np.inf
+    for shift in (-1, 0):
+        a = ex[max(0, shift):]
+        b = ey[max(0, -shift):]
+        m = min(len(a), len(b))
+        d = a[:m] - b[:m]
+        d = d - d.mean(axis=1, keepdims=True)
+        best = min(best, float(np.sqrt((d ** 2).mean())))
+    assert best <= 8.0, f"closed-loop envelope RMS {best:.2f} dB"
+    # and the synthesis is actually signal, not silence/noise floor
+    # (decoder output is gain-scaled below the 16000-peak input)
+    assert np.sqrt((y ** 2).mean()) > 300.0
