@@ -72,10 +72,17 @@ def state_specs(src: str | None = "source", slot: str | None = "slot"
 class ShardedControlStep:
     """Multi-source, mesh-sharded control pipeline step.
 
-    Wraps ``ControlPipeline.step`` with a leading ``n_sources`` batch axis
-    (``vmap``) and jits it with NamedShardings so GSPMD partitions the
-    xlat-bank conv over slot features and the whole batch over sources —
-    the full dp×tp capture step the driver dry-runs multi-chip.
+    Runs the plain streaming pipeline per device via ``shard_map``:
+    each device owns a (source subset × slot subset) tile — its own
+    wideband replicas, its own slots' modulated taps, its own tracking
+    state — so the dp×tp step emits **zero inter-device collectives**
+    (verified from the partitioned HLO by tools/scaling_model.py),
+    matching the reference's communication-free one-process-per-dongle
+    scale-out (rc_frontend/receiver.py:67-70). An earlier GSPMD
+    auto-partitioned formulation (jit with in_shardings over the same
+    specs) re-replicated the conv inputs and the modulated taps with
+    ~30 MB/block of all-gathers — ICI traffic the explicit form
+    deletes.
     """
 
     def __init__(self, pipeline: ControlPipeline, mesh: Mesh,
@@ -94,15 +101,20 @@ class ShardedControlStep:
                                                 x, P))
         self.x_sharding = sh(P(src, None))
         self.off_sharding = sh(P(src, slot))
-        out_sh = (self.state_shardings,
-                  (sh(P(src, slot, None)), sh(P(src, slot, None)),
-                   sh(P(src, slot, None))))
-        self._step = jax.jit(
-            jax.vmap(pipeline._step_impl),
-            in_shardings=(self.state_shardings, self.x_sharding,
-                          self.off_sharding),
-            out_shardings=out_sh,
-            donate_argnums=(0,))
+
+        def local(state, x, offs):
+            # [S_l] local sources × [C_l] local slots: the pipeline is
+            # shape-polymorphic over both, and every input it needs
+            # (wideband replica, slot offsets, carried state) is
+            # already resident — no cross-device data dependence.
+            return jax.vmap(pipeline._step_impl)(state, x, offs)
+
+        out_specs = (st_specs, (P(src, slot, None),) * 3)
+        f = jax.shard_map(local, mesh=mesh,
+                          in_specs=(st_specs, P(src, None),
+                                    P(src, slot)),
+                          out_specs=out_specs, check_vma=False)
+        self._step = jax.jit(f, donate_argnums=(0,))
 
     def init(self) -> ControlPipelineState:
         st = jax.tree.map(

@@ -260,3 +260,70 @@ def test_runtime_split2_expands_sources():
     rt.step()     # providers deliver; split state advances without error
     assert rt.blocks == 1
     rt.close()
+
+
+def test_dp_tp_step_emits_no_collectives():
+    """The dp×tp sharded step's contract: each device owns a complete
+    (source subset × slot subset) tile, so the partitioned HLO must
+    contain ZERO inter-device collectives — the communication-free
+    scale-out matching the reference's process-per-dongle layout
+    (rc_frontend/receiver.py:67-70). GSPMD auto-partitioning of the
+    same step used to re-replicate the conv inputs and modulated taps
+    with ~30 MB/block of all-gathers; the shard_map form keeps it
+    clean (full accounting: tools/scaling_model.py, SCALING_r05.json)."""
+    import sys
+    sys.path.insert(0, "tools")
+    import os
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from scaling_model import collective_inventory
+    from jax.sharding import Mesh
+
+    pipe = ControlPipeline.p25_c4fm(num_slots=8, samp_rate=300e3)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("source", "slot"))
+    s = MESH.ShardedControlStep(pipe, mesh, n_sources=4)
+    st = s.init()
+    T = pipe.decim * 64
+    x = np.zeros((4, T, 2), np.float32)
+    offs = np.zeros((4, 8), np.float32)
+    hlo = s._step.lower(st, x, offs).compile().as_text()
+    inv = collective_inventory(hlo)
+    assert inv == [], f"dp x tp step emitted collectives: {inv}"
+
+
+def test_time_shard_collectives_match_formulas():
+    """The time-sharded step must emit exactly the three designed
+    collectives (halo ppermute, track-rate all_to_all, tail reduce)
+    with per-device bytes matching the analytic formulas that the
+    production scaling model evaluates (tools/scaling_model.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from scaling_model import collective_inventory
+    from jax.sharding import Mesh
+
+    pipe = ControlPipeline.p25_c4fm(num_slots=8, samp_rate=300e3)
+    n_t, n_src = 4, 2
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 1, 4),
+                ("source", "slot", "time"))
+    s = MESH.TimeShardedControlStep(pipe, mesh, n_src)
+    st = s.init()
+    bm = pipe.block_multiple
+    T = n_t * bm * max(1, -(-s.halo // (bm))) * 4
+    x = np.zeros((n_src, T, 2), np.float32)
+    offs = np.zeros((n_src, 8), np.float32)
+    hlo = s._step.lower(st, x, offs).compile().as_text()
+    got = {}
+    for e in collective_inventory(hlo):
+        got[e["op"]] = got.get(e["op"], 0) + e["bytes"]
+    nt = T // pipe.decim // pipe.sym_decim
+    want = {
+        "collective-permute": n_src * s.halo * 8,
+        "all-to-all": n_src * 8 * (nt // n_t) * 4,
+        "all-reduce": n_src * s.halo * 8,
+    }
+    assert got == want, (got, want)
