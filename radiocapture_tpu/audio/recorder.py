@@ -306,6 +306,14 @@ class CallRecorder:
             np.packbits(np.concatenate(self._tdma.voice_frames)).tofile(
                 sidecar)
             self.cdr["errors"] = self.errors
+            import json as _json
+            with open(sidecar + ".json", "w") as f:
+                _json.dump({
+                    "slot": self._slot,
+                    "codewords": len(self._tdma.voice_frames),
+                    "codeword_bits": 72,
+                    "algid": (self._tdma.ess or {}).get("algid"),
+                    "keyid": (self._tdma.ess or {}).get("keyid")}, f)
         if self._tdma is not None and self._tdma.ess is not None:
             # ESS-A from the slot's 2V bursts: tag encrypted calls at
             # capture time (ALGID 0x80 = clear per TIA-102; anything

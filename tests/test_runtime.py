@@ -364,3 +364,24 @@ def test_example_config_loads():
     assert cfg.sources[0].samp_rate == 2.4e6
     assert cfg.systems[0].type == "p25"
     assert cfg.systems[0].control_channels == [857.5e6]
+
+
+def test_example_live_config_loads_and_routes_source_types():
+    """The live example config exercises every wired ingest path's
+    address syntax (rtl_tcp + rciq) and the dual-broker entries."""
+    import os
+
+    from radiocapture_tpu.frontend.rciq import parse_args
+    from radiocapture_tpu.frontend.rtl_tcp import parse_addr
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs/config_example_live.py"))
+    assert {s.type for s in cfg.sources.values()} == \
+        {"rtlsdr", "usrp", "bladerf"}
+    assert parse_addr(cfg.sources[0].args) == ("127.0.0.1", 1234)
+    assert parse_addr(cfg.sources[1].args) == ("sdrhost-a", 1235)
+    assert parse_args(cfg.sources[2].args) == ("sdrhost-b", 41234,
+                                               "cs16")
+    assert parse_args(cfg.sources[3].args) == ("sdrhost-c", 41234,
+                                               "cf32")
+    assert cfg.activemq["port"] == 61613
+    assert len(cfg.redis_servers) == 2

@@ -382,8 +382,12 @@ def test_recorder_tdma_call_writes_vb_sidecar(tmp_path):
     rec.feed_dibits(stream)
     assert rec.time_last_activity >= t0
     rec.close({})
+    import json
     import os
     vb = rec.filename[:-4] + ".vb"
     assert os.path.exists(vb)
     assert os.path.getsize(vb) == 18 * 72 // 8
+    meta = json.load(open(vb + ".json"))
+    assert meta["codewords"] == 18 and meta["codeword_bits"] == 72
+    assert meta["slot"] == 0
     bus.close()
