@@ -256,6 +256,17 @@ class CallRecorder:
             except Exception:
                 self.errors += 1
 
+
+    def _write_codeword_sidecar(self, ext: str, frames: list,
+                                meta: dict) -> None:
+        """Packed raw codewords + a self-describing JSON companion
+        (counts, sizes, per-modulation fields)."""
+        import json as _json
+        sidecar = self.filename[:-4] + ext
+        np.packbits(np.concatenate(frames)).tofile(sidecar)
+        with open(sidecar + ".json", "w") as f:
+            _json.dump({"codewords": len(frames), **meta}, f)
+
     # ---- teardown ----
     def close(self, patches: dict | None = None) -> dict:
         """Finalize; returns the completed CDR. Emits call_complete."""
@@ -286,34 +297,24 @@ class CallRecorder:
                 self._provoice.cadence_adapted
             self.cdr["errors"] = self.errors
             if self._provoice.voice_frames:
-                sidecar = self.filename[:-4] + ".pv"
-                np.packbits(np.concatenate(
-                    self._provoice.voice_frames)).tofile(sidecar)
-                import json as _json
-                with open(sidecar + ".json", "w") as f:
-                    _json.dump({
+                self._write_codeword_sidecar(
+                    ".pv", self._provoice.voice_frames, {
                         "variant": self._provoice.variant,
                         "cadence_bits": self._provoice.cadence_bits,
                         "cadence_adapted":
                             self._provoice.cadence_adapted,
                         "superframes": self._provoice.superframes,
-                        "codewords": len(self._provoice.voice_frames),
-                        "codeword_bits": 168}, f)
+                        "codeword_bits": 168})
         if self._tdma is not None and self._tdma.voice_frames:
             # AMBE+2 audio decode is out of scope (imbe.h); keep the raw
             # voice codewords so the recording retains evidentiary value.
-            sidecar = self.filename[:-4] + ".vb"
-            np.packbits(np.concatenate(self._tdma.voice_frames)).tofile(
-                sidecar)
-            self.cdr["errors"] = self.errors
-            import json as _json
-            with open(sidecar + ".json", "w") as f:
-                _json.dump({
+            self._write_codeword_sidecar(
+                ".vb", self._tdma.voice_frames, {
                     "slot": self._slot,
-                    "codewords": len(self._tdma.voice_frames),
                     "codeword_bits": 72,
                     "algid": (self._tdma.ess or {}).get("algid"),
-                    "keyid": (self._tdma.ess or {}).get("keyid")}, f)
+                    "keyid": (self._tdma.ess or {}).get("keyid")})
+            self.cdr["errors"] = self.errors
         if self._tdma is not None and self._tdma.ess is not None:
             # ESS-A from the slot's 2V bursts: tag encrypted calls at
             # capture time (ALGID 0x80 = clear per TIA-102; anything

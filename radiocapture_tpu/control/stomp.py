@@ -147,6 +147,11 @@ class StompClient:
         self._subs: dict[str, tuple[str, object]] = {}  # dest->(id, cb)
         self._receipts: dict[str, threading.Event] = {}
         self._lock = threading.Lock()
+        # Serializes every writer on the socket (send()/subscribe()
+        # from caller threads, heart-beat EOLs from the reader thread):
+        # interleaving a concurrent sendall mid-frame would corrupt the
+        # stream.
+        self._wlock = threading.Lock()
         self._sock: socket.socket | None = None
         self._running = True
         self._connected = threading.Event()
@@ -170,8 +175,9 @@ class StompClient:
         if s is None:
             raise ConnectionError("not connected")
         try:
-            s.sendall(encode_frame("SEND", hdrs, body))
-            self._last_sent = time.monotonic()
+            with self._wlock:
+                s.sendall(encode_frame("SEND", hdrs, body))
+                self._last_sent = time.monotonic()
         except OSError as e:
             raise ConnectionError(str(e)) from e
 
@@ -202,8 +208,11 @@ class StompClient:
             s = self._sock
         if s is not None:
             try:
-                s.sendall(encode_frame("SUBSCRIBE", {
-                    "id": sid, "destination": destination, "ack": "auto"}))
+                with self._wlock:
+                    s.sendall(encode_frame("SUBSCRIBE", {
+                        "id": sid, "destination": destination,
+                        "ack": "auto"}))
+                    self._last_sent = time.monotonic()
             except OSError:
                 pass
         return sid
@@ -214,7 +223,10 @@ class StompClient:
             s = self._sock
         if ent and s is not None:
             try:
-                s.sendall(encode_frame("UNSUBSCRIBE", {"id": ent[0]}))
+                with self._wlock:
+                    s.sendall(encode_frame("UNSUBSCRIBE",
+                                           {"id": ent[0]}))
+                    self._last_sent = time.monotonic()
             except OSError:
                 pass
 
@@ -251,21 +263,26 @@ class StompClient:
                 self._connected.set()
                 self._last_sent = self._last_recv = time.monotonic()
                 while self._running:
+                    # heart-beat bookkeeping runs on EVERY wakeup — a
+                    # continuously busy receive direction must not
+                    # starve our outgoing beats (the peer would kill a
+                    # healthy connection at its 2x deadline).
+                    now = time.monotonic()
+                    if self._send_every and \
+                            now - self._last_sent >= self._send_every:
+                        with self._wlock:
+                            s.sendall(b"\n")       # heart-beat EOL
+                            self._last_sent = time.monotonic()
+                    if self._recv_within and \
+                            now - self._last_recv > \
+                            2 * self._recv_within:
+                        self.heartbeat_timeouts += 1
+                        raise ConnectionError(
+                            "heart-beat timeout (broker silent "
+                            f"{now - self._last_recv:.1f} s)")
                     try:
                         frame, buf = self._read_frame(s, buf)
                     except socket.timeout:
-                        now = time.monotonic()
-                        if self._send_every and \
-                                now - self._last_sent >= self._send_every:
-                            s.sendall(b"\n")       # heart-beat EOL
-                            self._last_sent = now
-                        if self._recv_within and \
-                                now - self._last_recv > \
-                                2 * self._recv_within:
-                            self.heartbeat_timeouts += 1
-                            raise ConnectionError(
-                                "heart-beat timeout (broker silent "
-                                f"{now - self._last_recv:.1f} s)")
                         continue
                     cmd, headers, body = frame
                     if cmd == "MESSAGE":
@@ -392,26 +409,59 @@ class StompBus:
                                   json.dumps(body)))
             self._cv.notify()
 
+    #: receipted sends in flight per drain round — pipelines the
+    #: broker round-trips instead of paying one RTT per message (a
+    #: serialized drain caps throughput at 1/RTT msgs/s).
+    RECEIPT_WINDOW = 16
+
     def _drain_hopeful(self) -> None:
+        import uuid as _uuid2
         while self._running:
             with self._cv:
                 if not self._hopeful:
                     self._cv.wait(timeout=0.5)
                     continue
-                dest, hdrs, data = self._hopeful.pop(0)
-                self._inflight += 1
-            try:
-                hdrs["time_sent"] = time.time()
-                if not self.client.send_with_receipt(
-                        dest, data, hdrs,
-                        timeout=self.receipt_timeout_s):
-                    raise ConnectionError("no broker RECEIPT")
-                with self._cv:
-                    self._inflight -= 1
-            except Exception:
-                with self._cv:
-                    self._hopeful.insert(0, (dest, hdrs, data))
-                    self._inflight -= 1
+                batch = self._hopeful[:self.RECEIPT_WINDOW]
+                del self._hopeful[:len(batch)]
+                self._inflight += len(batch)
+            pend = []      # (event, dest, hdrs, data) awaiting RECEIPT
+            failed = []
+            for dest, hdrs, data in batch:
+                if failed:              # keep order once one send fails
+                    failed.append((dest, hdrs, data))
+                    continue
+                rid = str(_uuid2.uuid4())
+                ev = threading.Event()
+                with self.client._lock:
+                    self.client._receipts[rid] = ev
+                try:
+                    hdrs["time_sent"] = time.time()
+                    self.client.send(dest, data,
+                                     {**hdrs, "receipt": rid})
+                    pend.append((ev, dest, hdrs, data))
+                except Exception:
+                    with self.client._lock:
+                        self.client._receipts.pop(rid, None)
+                    failed.append((dest, hdrs, data))
+            deadline = time.monotonic() + self.receipt_timeout_s
+            confirmed = 0
+            still = []
+            for ev, dest, hdrs, data in pend:
+                if ev.wait(max(0.0, deadline - time.monotonic())):
+                    confirmed += 1
+                else:
+                    still.append((dest, hdrs, data))
+            with self.client._lock:
+                self.client._receipts = {
+                    r: e for r, e in self.client._receipts.items()
+                    if not e.is_set()}
+            requeue = still + failed
+            with self._cv:
+                if requeue:
+                    # at-least-once: unconfirmed items retry in order
+                    self._hopeful[:0] = requeue
+                self._inflight -= len(batch)
+            if requeue:
                 time.sleep(self.retry_s)
 
     def subscribe(self, dest: str, callback) -> None:
@@ -501,6 +551,16 @@ class MiniStompServer:
         last_sent = last_recv = time.monotonic()
         try:
             while self._running:
+                now = time.monotonic()
+                # checked on EVERY wakeup: a busy receive direction
+                # must not starve outgoing beats or liveness checks
+                if send_every and now - last_sent >= send_every:
+                    with send_lock:
+                        conn.sendall(b"\n")
+                    last_sent = time.monotonic()
+                if recv_within and now - last_recv > 2 * recv_within:
+                    self.hb_disconnects += 1
+                    return   # client presumed dead (ActiveMQ)
                 try:
                     frame, pos = parse_frame(buf, 0)
                     buf = buf[pos:]
@@ -508,16 +568,6 @@ class MiniStompServer:
                     try:
                         chunk = conn.recv(65536)
                     except socket.timeout:
-                        now = time.monotonic()
-                        if send_every and \
-                                now - last_sent >= send_every:
-                            with send_lock:
-                                conn.sendall(b"\n")
-                            last_sent = now
-                        if recv_within and \
-                                now - last_recv > 2 * recv_within:
-                            self.hb_disconnects += 1
-                            return   # client presumed dead (ActiveMQ)
                         continue
                     if not chunk:
                         return
@@ -611,7 +661,18 @@ class MiniStompServer:
                 with slock:
                     conn.sendall(encode_frame("MESSAGE", msg, body))
             except OSError:
-                pass
+                # includes socket.timeout: a partial sendall leaves the
+                # stream desynced mid-frame — drop the subscriber whole
+                # (its client reconnects cleanly) instead of appending
+                # the next MESSAGE into a torn frame.
+                with self._lock:
+                    for d in list(self._subs):
+                        self._subs[d] = [e for e in self._subs[d]
+                                         if e[0] is not conn]
+                try:
+                    conn.close()
+                except OSError:
+                    pass
 
     def queued(self, dest: str) -> list[tuple[dict, bytes]]:
         with self._lock:

@@ -142,10 +142,18 @@ class ProVoiceFramer:
             return
         vals, counts = np.unique(d, return_counts=True)
         mode = int(vals[int(np.argmax(counts))])
-        if int(counts.max()) >= CADENCE_VOTES and mode != self.stride:
-            self.stride = mode
-            self.cadence_adapted = True
-            self._sync_pos = self._sync_pos[-1:]
+        if int(counts.max()) < CADENCE_VOTES or mode == self.stride:
+            return
+        if mode % self.stride == 0:
+            # an exact multiple of the current stride is what periodic
+            # sync dropouts look like (every k-th sync hidden) — the
+            # current stride already explains the observations, and
+            # adapting up would shunt the hidden frames' codewords into
+            # aux; keep the shorter hypothesis.
+            return
+        self.stride = mode
+        self.cadence_adapted = True
+        self._sync_pos = self._sync_pos[-1:]
 
     def feed(self, bits: np.ndarray) -> list[ProVoiceFrame]:
         self._buf = np.concatenate(

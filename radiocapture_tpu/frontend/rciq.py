@@ -320,12 +320,22 @@ class RcIqServer:
                             obj = json.loads(line)
                         except ValueError:
                             continue
-                        self.commands.append(obj)
-                        if obj.get("cmd") == "tune":
-                            self.center_freq = float(obj.get(
-                                "hz", self.center_freq))
-                        if self.on_command is not None:
-                            self.on_command(obj)
+                        # a hostile/buggy capture host must not take
+                        # down the radio feed for every other client:
+                        # malformed commands (non-dict JSON, bad hz,
+                        # on_command hardware errors) are logged and
+                        # dropped, same stance as the RESP/STOMP
+                        # parsers (tests/test_fuzz_robustness.py)
+                        try:
+                            self.commands.append(obj)
+                            if obj.get("cmd") == "tune":
+                                self.center_freq = float(obj.get(
+                                    "hz", self.center_freq))
+                            if self.on_command is not None:
+                                self.on_command(obj)
+                        except Exception:
+                            log.warning("bad rciq command %r dropped",
+                                        obj, exc_info=True)
                 conn.sendall(data)
             except (OSError, ConnectionError):
                 with self._lock:

@@ -257,3 +257,24 @@ def test_recorder_records_measured_cadence(tmp_path):
     assert meta["cadence_adapted"] is True
     assert meta["codewords"] == out["provoice_codewords"]
     bus.close()
+
+
+def test_cadence_multiple_of_stride_does_not_adapt():
+    """Periodic sync dropouts (every other sync corrupted) produce
+    intervals at 2x the true cadence; the estimator must NOT adapt the
+    stride to the multiple — the current stride already explains the
+    observations, and adapting up would shunt the hidden frames'
+    codewords into aux (r5 review finding)."""
+    v = _mk_voice(4 * 16, 23)
+    stream = PV.build_stream(v)          # true cadence 768
+    stream = stream.copy()
+    # corrupt every other sync beyond recognition (first sync at the
+    # 41-bit lead-in, cadence 768)
+    for k in range(1, len(stream) // PV.SUPERFRAME_BITS + 1, 2):
+        off = 41 + k * PV.SUPERFRAME_BITS
+        if off + PV.SYNC_BITS <= len(stream):
+            stream[off:off + PV.SYNC_BITS] ^= 1
+    fr = PV.ProVoiceFramer()
+    fr.feed(stream)
+    assert not fr.cadence_adapted
+    assert fr.stride == PV.SUPERFRAME_BITS

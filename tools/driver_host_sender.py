@@ -22,7 +22,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from radiocapture_tpu.frontend.rciq import RcIqServer  # noqa: E402
 
@@ -107,7 +110,8 @@ def main():
                                        a.rate, a.freq, a.gain)
 
     def on_command(obj):
-        if obj.get("cmd") == "tune":
+        if obj.get("cmd") == "tune" and isinstance(
+                obj.get("hz"), (int, float)):
             tune(float(obj["hz"]))
 
     srv = RcIqServer(a.rate, a.freq, fmt=a.fmt, host=a.bind,
