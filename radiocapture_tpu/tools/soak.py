@@ -281,8 +281,17 @@ def main(argv=None):
     ap.add_argument("--audio-dir", default="/tmp/rc_soak_audio")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
+    # size the per-runtime source count so voice capacity covers the
+    # target (1 MHz source = 80 channels; a few go to control)
+    samp_rate, n_systems = 1.0e6, 2
+    per_rt = -(-args.target // args.runtimes)
+    n_sources = 1
+    while (int(n_sources * samp_rate / CHANNEL_HZ)
+           - 2 * n_systems) < per_rt:
+        n_sources += 1
     res = run_soak(target_concurrency=args.target,
-                   n_runtimes=args.runtimes,
+                   n_runtimes=args.runtimes, n_sources=n_sources,
+                   samp_rate=samp_rate, n_systems=n_systems,
                    audio_dir=args.audio_dir, verbose=args.verbose)
     print(json.dumps(res))
 
