@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radiocapture_tpu.demod.fsk4 import _VAL_BANK, NPHASES
+from radiocapture_tpu.demod.fsk4 import _FARROW, _VAL_BANK, NPHASES
+
+#: value-tap Farrow polynomials (the first HIST columns of the fsk4
+#: combined bank): 8 interpolator taps as degree-4 polynomials in the
+#: fractional position — pure FMA, no table gather.
+_VAL_FARROW = _FARROW[:, :8]
 
 GAIN_MU = 0.025
 GAIN_OMEGA = 0.1 * GAIN_MU * GAIN_MU
@@ -79,7 +84,9 @@ def cqpsk_init(samp_rate: float, symbol_rate: float, batch_shape=()
 
 
 def _interp(hist_re, hist_im, p):
-    """Evaluate the complex history ``p`` samples before the newest one.
+    """Evaluate the complex history ``p`` samples before the newest one
+    (reference/test path — per-lane dynamic window + phase-table
+    gathers; the hot scan uses :func:`_interp_fixed` instead).
 
     p in [0, HIST_C-9]; uses the fsk4 polyphase bank: bank[ph] applied to
     an 8-wide window starting at s evaluates window position 4 - ph/N,
@@ -96,6 +103,31 @@ def _interp(hist_re, hist_im, p):
     w_im = jnp.take_along_axis(hist_im, idx, axis=-1)
     return (jnp.sum(w_re * taps, axis=-1),
             jnp.sum(w_im * taps, axis=-1))
+
+
+def _interp_fixed(hist_re, hist_im, n0: int, frac):
+    """Farrow interpolation at ``n0 + frac`` samples before the newest
+    history sample with a COMPILE-TIME integer ``n0``: static window
+    slice + polynomial taps, zero gathers.
+
+    Per-lane `take_along_axis`/table gathers lower to serial vector
+    gathers on the TPU VPU (the fsk4 kernel's measured ~36%-of-body
+    cost, demod/fsk4.py:_farrow_coeffs) — and this scan paid FOUR of
+    them per sample, which made the whole CQPSK pipeline ~370x slower
+    than C4FM (4.5 MS/s at the bench shape). The interpolation
+    positions' integer parts have tiny static ranges (p_sym ∈ [4,5);
+    p_half spans ≤2 integer windows at ±2% omega), so each candidate
+    window is a static slice and the caller selects between the few
+    candidates with `where`."""
+    s = HIST_C - 5 - n0
+    w_re = hist_re[..., s:s + 8]
+    w_im = hist_im[..., s:s + 8]
+    cf = jnp.asarray(_VAL_FARROW)                            # [deg+1, 8]
+    tt = cf[0]
+    fr = frac[..., None]
+    for j in range(1, cf.shape[0]):
+        tt = tt * fr + cf[j]                                 # [..., 8]
+    return jnp.sum(w_re * tt, axis=-1), jnp.sum(w_im * tt, axis=-1)
 
 
 def cqpsk_demod(state: CqpskState, x: jax.Array, samp_rate: float,
@@ -122,6 +154,14 @@ def cqpsk_demod(state: CqpskState, x: jax.Array, samp_rate: float,
     K_F = jnp.float32(k_freq)
     two_pi = jnp.float32(2.0 * math.pi)
     quarter_pi = jnp.float32(math.pi / 4.0)
+    # static integer-window candidates for the mid-symbol interpolation
+    # point p_half = p_sym + omega/2 (see _interp_fixed): omega is
+    # clamped to ±OMEGA_REL so the float range is known at trace time.
+    omega0 = samp_rate / symbol_rate
+    half_lo = _DELAY + omega0 * (1.0 - OMEGA_REL) * 0.5
+    half_hi = _DELAY + 0.999 + omega0 * (1.0 + OMEGA_REL) * 0.5
+    half_n0s = list(range(int(math.floor(half_lo)),
+                          int(math.floor(half_hi)) + 1))
 
     def scan_fn(carry: CqpskState, xn):
         t, omega, freq, phase, h_re, h_im, p_re, p_im = carry
@@ -138,8 +178,22 @@ def cqpsk_demod(state: CqpskState, x: jax.Array, samp_rate: float,
         frac_late = jnp.where(emit, t - omega, 0.0)
         p_sym = frac_late + _DELAY
         p_half = p_sym + omega * 0.5
-        y_re, y_im = _interp(h_re, h_im, p_sym)
-        m_re, m_im = _interp(h_re, h_im, p_half)
+        # gather-free interpolation: p_sym ∈ [4, 5) always (static
+        # window n0=4); p_half falls in one of the few precomputed
+        # integer windows — evaluate each static candidate and select.
+        y_re, y_im = _interp_fixed(
+            h_re, h_im, int(_DELAY),
+            jnp.clip(p_sym - _DELAY, 0.0, 0.999))
+        m_re = m_im = None
+        for n0 in half_n0s:
+            fr = jnp.clip(p_half - jnp.float32(n0), 0.0, 0.999)
+            c_re, c_im = _interp_fixed(h_re, h_im, n0, fr)
+            if m_re is None:
+                m_re, m_im = c_re, c_im
+            else:
+                sel = p_half >= jnp.float32(n0)
+                m_re = jnp.where(sel, c_re, m_re)
+                m_im = jnp.where(sel, c_im, m_im)
 
         # Gardner timing error: Re{(y_k - y_{k-1}) conj(y_mid)}; positive
         # when the instant is late (measured S-curve), so both corrections
