@@ -226,8 +226,25 @@ def cqpsk_demod(state: CqpskState, x: jax.Array, samp_rate: float,
         new = CqpskState(t, omega, freq, phase, h_re, h_im, p_re, p_im)
         return new, (arg, emit)
 
+    n = x.shape[-1]
+    # Chunked scan: W samples unrolled per scan step, amortizing scan
+    # dispatch over W samples (identical math/op order — same trick as
+    # fsk4_demod's w-unroll).
+    w = next(w for w in (25, 20, 16, 10, 8, 5, 4, 2, 1) if n % w == 0)
+
+    def chunk_fn(carry, xw):
+        ys, emits = [], []
+        for i in range(w):
+            carry, (y, e) = scan_fn(carry, xw[i])
+            ys.append(y)
+            emits.append(e)
+        return carry, (jnp.stack(ys), jnp.stack(emits))
+
     xs = jnp.moveaxis(x, -1, 0)
-    new_state, (ys, emits) = jax.lax.scan(scan_fn, state, xs)
+    xs = xs.reshape((n // w, w) + xs.shape[1:])
+    new_state, (ys, emits) = jax.lax.scan(chunk_fn, state, xs)
+    ys = ys.reshape((n,) + ys.shape[2:])
+    emits = emits.reshape((n,) + emits.shape[2:])
     return new_state, (jnp.moveaxis(ys, 0, -1), jnp.moveaxis(emits, 0, -1))
 
 
