@@ -158,9 +158,14 @@ class CallRecorder:
         self.wav.write(self._to_8k(audio))
 
     def _to_8k(self, audio: np.ndarray) -> np.ndarray:
-        """Rational resample channel_fs → 8 kHz, staging a remainder so
-        every processed chunk satisfies ``len * interp % decim == 0``
-        (the streaming resampler's static-shape contract)."""
+        """Rational resample channel_fs → 8 kHz + the voice band-pass
+        (300 Hz high-pass, logging_receiver.py:215, + 3.4 kHz low-pass),
+        staging a remainder so every processed chunk satisfies
+        ``len * interp % decim == 0`` (the streaming resampler's
+        static-shape contract). The band-pass runs HERE, per active
+        call at 8 kHz — exactly where the reference's per-call
+        flowgraph ran it — instead of per slot at channel rate in the
+        batched pipeline (PERF.md §11)."""
         from radiocapture_tpu.ops import resample as R
         import jax.numpy as jnp
         interp, decim = R.resample_ratio(self.channel_fs, self.AUDIO_RATE)
@@ -169,6 +174,14 @@ class CallRecorder:
             self._resample_state = R.resampler_init(self._resample_taps,
                                                     interp)
             self._stage = np.zeros(0, np.float32)
+            from radiocapture_tpu.ops import taps as _taps
+            lp = _taps.low_pass(1.0, float(self.AUDIO_RATE), 3400.0,
+                                600.0)
+            hp = _taps.high_pass(1.0, float(self.AUDIO_RATE), 300.0,
+                                 200.0)
+            self._post_taps = np.convolve(lp, hp).astype(np.float32)
+            self._post_hist = np.zeros(len(self._post_taps) - 1,
+                                       np.float32)
         # Chunk granularity: smallest L with L*interp % decim == 0.
         import math
         gran = decim // math.gcd(interp, decim)
@@ -182,7 +195,11 @@ class CallRecorder:
                                     jnp.asarray(self._resample_taps),
                                     interp, decim)
         self._resample_state = st
-        return np.asarray(y)
+        # streaming voice band-pass at 8 kHz (history-carried FIR)
+        z = np.concatenate([self._post_hist, np.asarray(y, np.float32)])
+        out = np.convolve(z, self._post_taps, "valid")
+        self._post_hist = z[len(z) - (len(self._post_taps) - 1):]
+        return out.astype(np.float32)
 
     # ---- P25 digital path ----
     def feed_dibits(self, dibits: np.ndarray) -> None:

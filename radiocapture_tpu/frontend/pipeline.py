@@ -360,7 +360,6 @@ class VoicePipelineState(NamedTuple):
     bank: XlatBankState
     quad: _fm.QuadDemodState
     deemph: _fm.DeemphState
-    audio_hist: jax.Array            # [slots, K-1]
 
 
 class AnalogVoicePipeline:
@@ -370,7 +369,13 @@ class AnalogVoicePipeline:
     Replaces the reference's per-call ``analog`` flowgraph
     (logging_receiver.py:210-222: pwr_squelch → fm_demod_cf(deemph 75µs)
     → high-pass 300 Hz → resample); squelch is applied downstream as a
-    power mask so the kernel stays branch-free.
+    power mask so the kernel stays branch-free. The voice band-pass
+    (300 Hz high-pass + 3.4 kHz low-pass) moved downstream too — into
+    the per-call recorder at 8 kHz (audio/recorder.py:_to_8k), where
+    the reference's per-call flowgraph always ran it: computing a
+    401-tap channel-rate FIR for every slot of every source cost more
+    than the entire channelizer bank (27 ms vs 17.6 ms per 128-source
+    block, PERF.md §11) for audio that only ACTIVE calls consume.
     """
 
     def __init__(self, num_slots: int, samp_rate: float,
@@ -382,12 +387,6 @@ class AnalogVoicePipeline:
                                channel_rate)
         self.channel_fs = self.samp_rate / self.bank.decim
         self.max_dev = float(max_dev)
-        from radiocapture_tpu.ops import taps as _taps
-        # 300 Hz high-pass (logging_receiver.py:215) folded with a voice
-        # low-pass into one band-pass FIR.
-        lp = _taps.low_pass(1.0, self.channel_fs, 3400.0, 600.0)
-        hp = _taps.high_pass(1.0, self.channel_fs, 300.0, 200.0)
-        self.audio_taps = np.convolve(lp, hp).astype(np.float32)
         self._state_spec = _wire.abstract(self._init_decoded)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
@@ -405,8 +404,6 @@ class AnalogVoicePipeline:
             bank=self.bank.init(),
             quad=_fm.quad_demod_init(batch_shape=(c,)),
             deemph=_fm.deemph_init(batch_shape=(c,)),
-            audio_hist=jnp.zeros((c, self.audio_taps.shape[0] - 1),
-                                 jnp.float32),
         )
 
     def init(self) -> VoicePipelineState:
@@ -418,11 +415,9 @@ class AnalogVoicePipeline:
         bs, chans = _bank_step(self.bank, state.bank, x, offsets_norm)
         gain = self.channel_fs / (2.0 * math.pi * self.max_dev)
         qs, disc = _fm.quadrature_demod(state.quad, chans, gain)
-        ds, de = _fm.fm_deemphasis(state.deemph, disc, self.channel_fs)
-        ah, audio = _batched_fir(state.audio_hist, de, self.audio_taps)
+        ds, audio = _fm.fm_deemphasis(state.deemph, disc, self.channel_fs)
         power = jnp.mean(jnp.abs(chans) ** 2, axis=-1)   # [C] squelch meter
-        new_state = VoicePipelineState(bank=bs, quad=qs, deemph=ds,
-                                       audio_hist=ah)
+        new_state = VoicePipelineState(bank=bs, quad=qs, deemph=ds)
         return _wire.encode(new_state), (audio, power)
 
     def step(self, state: VoicePipelineState, x: jax.Array,

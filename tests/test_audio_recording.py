@@ -82,9 +82,12 @@ def test_recorder_analog_squelch_and_rate(tmp_path):
     assert rate == 8000
     # 2 blocks x 100 ms -> ~1600 samples at 8 kHz (minus stage remainder)
     assert 1500 <= len(y) <= 1700
-    # first block carries the tone, second is squelched silence
+    # first block carries the tone, second is squelched silence. The
+    # per-call voice band-pass (recorder-side, like the reference's
+    # per-call flowgraph) rings ~22 ms past the gated boundary (177
+    # taps at 8 kHz), so the silence window starts after the ring.
     assert np.abs(y[:700]).max() > 0.3
-    assert np.abs(y[900:1500]).max() < 1e-4
+    assert np.abs(y[1100:1500]).max() < 1e-4
     assert completed[0]["cdr"]["time_close"] > 0
     bus.close()
 
