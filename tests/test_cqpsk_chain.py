@@ -115,3 +115,27 @@ def test_cqpsk_pipeline_wideband():
     rx_b = FSK4.slice_dibits(syms[1][valid[1]])
     _decode_dibit_stream(rx_a, exp_a, nac=0x293, min_frames=3)
     _decode_dibit_stream(rx_b, exp_b, nac=0x123, min_frames=3)
+
+
+def test_interp_fixed_matches_reference_interpolator():
+    """The gather-free static-window Farrow interpolation (the hot
+    scan path) must agree with the reference polyphase-table
+    interpolator `_interp` within the Farrow fit + 1/128-phase
+    quantization error (PERF.md §10)."""
+    import numpy as np
+    from radiocapture_tpu.demod import cqpsk as C
+
+    rng = np.random.default_rng(7)
+    h_re = jnp.asarray(rng.standard_normal((16, C.HIST_C))
+                       .astype(np.float32))
+    h_im = jnp.asarray(rng.standard_normal((16, C.HIST_C))
+                       .astype(np.float32))
+    for n0 in (4, 6, 7):
+        frac = jnp.asarray(rng.uniform(0.0, 0.999, 16)
+                           .astype(np.float32))
+        y_re, y_im = C._interp_fixed(h_re, h_im, n0, frac)
+        r_re, r_im = C._interp(h_re, h_im, jnp.float32(n0) + frac)
+        np.testing.assert_allclose(np.asarray(y_re), np.asarray(r_re),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(y_im), np.asarray(r_im),
+                                   atol=2e-2)
