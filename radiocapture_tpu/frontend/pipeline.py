@@ -261,15 +261,19 @@ class ControlPipeline:
         return np.asarray(state.fsk4.fine_freq) * self.deviation_hz
 
     def apply_freq_shift(self, state: ControlPipelineState,
-                         delta_hz: float) -> ControlPipelineState:
+                         delta_hz) -> ControlPipelineState:
         """Fold a source AFC retune of ``delta_hz`` into every slot's
         tracking carry, so the loop doesn't transiently re-correct an
         offset the mixer bank already removed (the reference avoids
         this with its 5 Hz dead-band + slow accumulation,
         rc_frontend/receiver.py:453-460; here the retune is exact so
-        the carry is compensated exactly)."""
-        ff = state.fsk4.fine_freq + np.float32(
-            delta_hz / self.deviation_hz)
+        the carry is compensated exactly). ``delta_hz``: scalar, or an
+        array broadcasting against the (possibly source-stacked)
+        ``fine_freq`` carry — e.g. [S, 1] for a per-source shift on a
+        grouped state."""
+        ff = state.fsk4.fine_freq + (
+            np.asarray(delta_hz, np.float32)
+            / np.float32(self.deviation_hz))
         return state._replace(fsk4=state.fsk4._replace(fine_freq=ff))
 
 

@@ -184,9 +184,27 @@ class SiteRuntime:
              for i, s in cfg.sources.items()},
             num_slots=cfg.num_slots_per_source,
             now_fn=lambda: self.now())
-        # one pipeline per (source, symbol class) actually needed
-        self.pipelines: dict[tuple, object] = {}
+        # Pipelines are GROUPED: all sources sharing a sample rate that
+        # need the same symbol class step through ONE jitted vmapped
+        # call with a leading source-batch axis — the bench's batching
+        # (bench.py: 128 sources per call) in the production loop. A
+        # per-source loop of batch-1 jit calls cannot hold the
+        # real-time deadline at scale on a TPU host: the fsk4/Gardner
+        # tracking scans are LATENCY-bound (~6.6 ms per call at any
+        # batch width, PERF.md §6), so N sources × 2 classes of
+        # batch-1 calls cost ≥ 13·N ms per 100 ms block — the batched
+        # call amortizes one scan latency across every source (128
+        # sources in ~18.5 ms, PERF.md §12 for the measured
+        # environment caveats). Groups: {gkey: {"pipe", "srcs", "cls",
+        # "rate"}}; gkey = (rate, cls) for the eager classes, (rate,
+        # cls, src) for lazily provisioned singletons (a TDMA voice
+        # class runs only on the source whose call needs it, same cost
+        # model as the old per-source layout).
+        self.groups: dict[tuple, dict] = {}
         self.pipe_state: dict[tuple, object] = {}
+        self._gstep: dict[tuple, object] = {}
+        self._gmap: dict[tuple, tuple] = {}    # (src, cls) -> (gkey, row)
+        self._by_src: dict[int, list] = {}     # src -> [(cls, gkey, row)]
         self.instances: list[ControlInstance] = []
         for sys_cfg in cfg.systems.values():
             inst = ControlInstance(sys_cfg, self.scheduler, self.bus,
@@ -205,8 +223,12 @@ class SiteRuntime:
             needed.add((src_idx, _CLS_C4FM))     # digital voice dibits
             if has_cqpsk:
                 needed.add((src_idx, _CLS_CQPSK))
+        by_cls: dict[tuple, list] = {}
         for src_idx, cls in sorted(needed, key=str):
-            self._make_pipeline(src_idx, cls)
+            rate = int(cfg.sources[src_idx].samp_rate)
+            by_cls.setdefault((rate, cls), []).append(src_idx)
+        for (rate, cls), srcs in sorted(by_cls.items(), key=str):
+            self._make_group((rate, cls), cls, sorted(set(srcs)))
         self._pending_pipelines: set[tuple] = set()
         self._pipe_lock = threading.Lock()
 
@@ -301,37 +323,62 @@ class SiteRuntime:
                 return inst.presence_record()
         return None
 
-    def _make_pipeline(self, src_idx: int, cls: str) -> None:
-        src = self.cfg.sources[src_idx]
+    def _build_pipeline(self, samp_rate: float, cls: str):
         n = self.cfg.num_slots_per_source
         fe = self.cfg.frontend_mode
         if cls == _CLS_C4FM:
-            p = ControlPipeline.p25_c4fm(n, src.samp_rate, frontend=fe)
-        elif cls == _CLS_C4FM_TDMA:
+            return ControlPipeline.p25_c4fm(n, samp_rate, frontend=fe)
+        if cls == _CLS_C4FM_TDMA:
             # Phase 2 H-CPM voice on a C4FM system: same discriminator
             # chain at 6000 Bd (logging_receiver.py:226-228).
-            p = ControlPipeline(n, src.samp_rate, 12500.0, 6000.0,
-                                (-3.0, -1.0, 1.0, 3.0), 600.0,
-                                frontend=fe)
-        elif cls == _CLS_EDACS:
-            p = ControlPipeline.edacs(n, src.samp_rate, frontend=fe)
-        elif cls == _CLS_MOTO:
-            p = ControlPipeline.moto(n, src.samp_rate, frontend=fe)
-        elif cls == _CLS_CQPSK:
-            p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate,
-                                               frontend=fe)
-        elif cls == _CLS_CQPSK_TDMA:
-            p = CqpskControlPipeline.p25_cqpsk(n, src.samp_rate,
-                                               tdma=True, frontend=fe)
-        else:
-            p = AnalogVoicePipeline(n, src.samp_rate, frontend=fe)
-        self.pipelines[(src_idx, cls)] = p
-        self.pipe_state[(src_idx, cls)] = p.init()
+            return ControlPipeline(n, samp_rate, 12500.0, 6000.0,
+                                   (-3.0, -1.0, 1.0, 3.0), 600.0,
+                                   frontend=fe)
+        if cls == _CLS_EDACS:
+            return ControlPipeline.edacs(n, samp_rate, frontend=fe)
+        if cls == _CLS_MOTO:
+            return ControlPipeline.moto(n, samp_rate, frontend=fe)
+        if cls == _CLS_CQPSK:
+            return CqpskControlPipeline.p25_cqpsk(n, samp_rate,
+                                                  frontend=fe)
+        if cls == _CLS_CQPSK_TDMA:
+            return CqpskControlPipeline.p25_cqpsk(n, samp_rate,
+                                                  tdma=True, frontend=fe)
+        return AnalogVoicePipeline(n, samp_rate, frontend=fe)
+
+    def _make_group(self, gkey: tuple, cls: str, srcs: list) -> None:
+        import jax
+        import jax.numpy as jnp
+        rate = gkey[0]
+        pipe = self._build_pipeline(float(rate), cls)
+        st = jax.tree.map(
+            lambda l: jnp.broadcast_to(l, (len(srcs),) + l.shape),
+            pipe.init())
+        vstep = jax.vmap(pipe._step_impl)
+
+        def f(state, x, offs, mask):
+            st2, out = vstep(state, x, offs)
+            # sources with no data this block keep their previous
+            # state (the old per-source loop simply skipped them)
+            st2 = jax.tree.map(
+                lambda a, b: jnp.where(
+                    mask.reshape((mask.shape[0],)
+                                 + (1,) * (a.ndim - 1)), a, b),
+                st2, state)
+            return st2, out
+
+        self.groups[gkey] = {"pipe": pipe, "srcs": list(srcs),
+                             "cls": cls, "rate": rate}
+        self.pipe_state[gkey] = st
+        self._gstep[gkey] = jax.jit(f, donate_argnums=(0,))
+        for row, s in enumerate(srcs):
+            self._gmap[(s, cls)] = (gkey, row)
+            self._by_src.setdefault(s, []).append((cls, gkey, row))
 
     def _require_stream(self, src_idx: int, cls: str) -> None:
         """RecorderManager callback (possibly from a bus worker thread):
         provision a voice dibit pipeline before the next step."""
-        if (src_idx, cls) in self.pipelines:
+        if (src_idx, cls) in self._gmap:
             return
         with self._pipe_lock:
             self._pending_pipelines.add((src_idx, cls))
@@ -340,36 +387,67 @@ class SiteRuntime:
         with self._pipe_lock:
             pending, self._pending_pipelines = self._pending_pipelines, set()
         for src_idx, cls in sorted(pending, key=str):
-            if (src_idx, cls) not in self.pipelines:
+            if (src_idx, cls) not in self._gmap:
                 log.info("provisioning %s pipeline on source %s", cls,
                          src_idx)
-                self._make_pipeline(src_idx, cls)
+                rate = int(self.cfg.sources[src_idx].samp_rate)
+                # lazy classes run as singletons: only the source whose
+                # call needs the class pays for it
+                self._make_group((rate, cls, src_idx), cls, [src_idx])
+
+    def has_pipeline(self, src_idx: int, cls: str) -> bool:
+        return (src_idx, cls) in self._gmap
 
     def block_len(self, src_idx: int) -> int:
         src = self.cfg.sources[src_idx]
-        m = max(getattr(p, "block_multiple", p.decim)
-                for (s, _), p in self.pipelines.items() if s == src_idx)
+        m = max(getattr(g["pipe"], "block_multiple", g["pipe"].decim)
+                for _cls, gk, _row in self._by_src.get(src_idx, [])
+                for g in (self.groups[gk],))
         n = int(src.samp_rate * self.cfg.block_seconds)
         return max(m, (n // m) * m)
 
     # ---- main loop ----
     def step(self) -> None:
-        """Process one block from every source."""
+        """Process one block from every source: one vmapped jit call
+        per pipeline group (all same-rate sources batched), then
+        per-source consumption."""
         self._provision_pending()
+        blocks: dict[int, np.ndarray | None] = {}
         for src_idx in self.cfg.sources:
             x = self.providers[src_idx](self.block_len(src_idx))
-            if x is None:
-                continue
-            if np.iscomplexobj(x):
+            if x is not None and np.iscomplexobj(x):
                 x = np.stack([x.real, x.imag], -1).astype(np.float32)
-            offs = self.scheduler.offsets_norm(src_idx)
+            blocks[src_idx] = x
+        group_out: dict[tuple, tuple] = {}
+        for gkey, g in self.groups.items():
+            srcs = g["srcs"]
+            present = np.array([blocks[s] is not None for s in srcs])
+            if not present.any():
+                continue
+            xs = [blocks[s] for s in srcs]
+            zero = None
+            for x in xs:
+                if x is not None:
+                    zero = np.zeros_like(np.asarray(x))
+                    break
+            xs = [np.asarray(x) if x is not None else zero for x in xs]
+            if len({a.dtype for a in xs}) > 1:   # mixed wire dtypes
+                xs = [a.astype(np.float32) for a in xs]
+            xb = np.stack(xs)
+            offs = np.stack([self.scheduler.offsets_norm(s)
+                             for s in srcs])
+            st, out = self._gstep[gkey](self.pipe_state[gkey], xb,
+                                        offs, present)
+            self.pipe_state[gkey] = st
+            group_out[gkey] = out
+        for src_idx in self.cfg.sources:
+            if blocks[src_idx] is None:
+                continue
             outputs: dict[str, tuple] = {}
-            for (s, cls), pipe in self.pipelines.items():
-                if s != src_idx:
-                    continue
-                st, out = pipe.step(self.pipe_state[(s, cls)], x, offs)
-                self.pipe_state[(s, cls)] = st
-                outputs[cls] = out
+            for cls, gkey, row in self._by_src.get(src_idx, []):
+                out = group_out.get(gkey)
+                if out is not None:
+                    outputs[cls] = tuple(o[row] for o in out)
             # control instances: fetch each consumed stream once per
             # block (per-slot jax row fetches cost a device sync each)
             cc_insts = [i for i in self.instances
@@ -442,12 +520,13 @@ class SiteRuntime:
                     or inst.slot is None or not inst.engine.is_locked
                     or inst.source_idx in done_sources):
                 continue
-            key = (inst.source_idx, _CLS_C4FM)
-            pipe = self.pipelines.get(key)
-            if pipe is None:
+            ent = self._gmap.get((inst.source_idx, _CLS_C4FM))
+            if ent is None:
                 continue
-            measured = float(
-                pipe.fine_freq_hz(self.pipe_state[key])[inst.slot])
+            gkey, row = ent
+            pipe = self.groups[gkey]["pipe"]
+            measured = float(pipe.fine_freq_hz(
+                self.pipe_state[gkey])[row, inst.slot])
             if abs(measured) < self.AFC_DEADBAND_HZ:
                 continue
             done_sources.add(inst.source_idx)
@@ -460,10 +539,16 @@ class SiteRuntime:
                 continue
             log.info("AFC: source %s measured %+.1f Hz -> afc %+.1f Hz",
                      inst.source_idx, measured, after)
-            for (s, cls), p in self.pipelines.items():
-                if s == inst.source_idx and hasattr(p, "apply_freq_shift"):
-                    self.pipe_state[(s, cls)] = p.apply_freq_shift(
-                        self.pipe_state[(s, cls)], delta)
+            for cls, gk, r in self._by_src.get(inst.source_idx, []):
+                p = self.groups[gk]["pipe"]
+                if hasattr(p, "apply_freq_shift"):
+                    # per-source delta on the stacked state: only this
+                    # source's row shifts
+                    dv = np.zeros((len(self.groups[gk]["srcs"]), 1),
+                                  np.float32)
+                    dv[r, 0] = delta
+                    self.pipe_state[gk] = p.apply_freq_shift(
+                        self.pipe_state[gk], dv)
 
     def publish_presence(self) -> None:
         for inst in self.instances:

@@ -150,7 +150,7 @@ def test_runtime_cqpsk_voice_routing(tmp_path):
                      completed.append)
     try:
         # CQPSK voice pipelines are provisioned up front for LSM systems
-        assert (0, "cqpsk") in rt.pipelines
+        assert rt.has_pipeline(0, "cqpsk")
         n_blocks = int(len(capture) // rt.block_len(0)) - 1
         rt.run(n_blocks=min(n_blocks, 40))
         assert rt.instances[0].engine.is_locked
@@ -336,8 +336,9 @@ def test_runtime_afc_converges(tmp_path):
         afc = rt.scheduler.sources[0].afc_offset
         assert abs(afc - LO_ERR) < 60.0, afc
         # with the correction applied, the residual carry is ~zero again
-        key = (0, "c4fm")
-        resid = rt.pipelines[key].fine_freq_hz(rt.pipe_state[key])
+        gkey, row = rt._gmap[(0, "c4fm")]
+        resid = rt.groups[gkey]["pipe"].fine_freq_hz(
+            rt.pipe_state[gkey])[row]
         assert abs(float(resid[inst.slot])) < 60.0
     finally:
         rt.close()
