@@ -189,6 +189,15 @@ class RecorderManager:
                         (float(lat), bool(getattr(rec, "alloc_warm",
                                                   False))))
 
+    def active_streams(self) -> set:
+        """{(source_idx, stream_kind)} for every open recorder — lets
+        the capture loop prefetch exactly the group outputs somebody
+        will consume this block."""
+        with self._lock:
+            return {(src, kind)
+                    for _rec, src, _slot, _bid, kind
+                    in self.active.values()}
+
     def heartbeat_clients(self) -> None:
         """Keep recorder slot claims alive (frontend_connector.py:197)."""
         with self._lock:

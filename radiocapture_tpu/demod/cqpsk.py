@@ -162,6 +162,16 @@ def cqpsk_demod(state: CqpskState, x: jax.Array, samp_rate: float,
     half_hi = _DELAY + 0.999 + omega0 * (1.0 + OMEGA_REL) * 0.5
     half_n0s = list(range(int(math.floor(half_lo)),
                           int(math.floor(half_hi)) + 1))
+    # _interp_fixed's window must fit the history: start s = HIST_C-5-n0
+    # needs 0 <= s and s+8 <= HIST_C. The old dynamic interpolator
+    # silently clipped out-of-range positions to wrong samples; fail
+    # loudly instead (HIST_C bounds the supported samples-per-symbol).
+    if half_n0s and not (3 <= half_n0s[0]
+                         and half_n0s[-1] <= HIST_C - 5):
+        raise ValueError(
+            f"samples/symbol {omega0:.1f} needs mid-symbol window "
+            f"n0∈{half_n0s} outside the {HIST_C}-sample history; "
+            "raise HIST_C for rates above ~28 samples/symbol")
 
     def scan_fn(carry: CqpskState, xn):
         t, omega, freq, phase, h_re, h_im, p_re, p_im = carry

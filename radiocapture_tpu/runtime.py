@@ -223,12 +223,19 @@ class SiteRuntime:
             needed.add((src_idx, _CLS_C4FM))     # digital voice dibits
             if has_cqpsk:
                 needed.add((src_idx, _CLS_CQPSK))
-        by_cls: dict[tuple, list] = {}
-        for src_idx, cls in sorted(needed, key=str):
-            rate = int(cfg.sources[src_idx].samp_rate)
-            by_cls.setdefault((rate, cls), []).append(src_idx)
-        for (rate, cls), srcs in sorted(by_cls.items(), key=str):
-            self._make_group((rate, cls), cls, sorted(set(srcs)))
+        if getattr(cfg, "group_sources", True):
+            by_cls: dict[tuple, list] = {}
+            for src_idx, cls in sorted(needed, key=str):
+                rate = int(cfg.sources[src_idx].samp_rate)
+                by_cls.setdefault((rate, cls), []).append(src_idx)
+            for (rate, cls), srcs in sorted(by_cls.items(), key=str):
+                self._make_group((rate, cls), cls, sorted(set(srcs)))
+        else:
+            # per-source singleton groups: the pre-grouping cost model,
+            # for CPU-only multi-source offline decode (rxconfig knob)
+            for src_idx, cls in sorted(needed, key=str):
+                rate = int(cfg.sources[src_idx].samp_rate)
+                self._make_group((rate, cls, src_idx), cls, [src_idx])
         self._pending_pipelines: set[tuple] = set()
         self._pipe_lock = threading.Lock()
 
@@ -440,6 +447,30 @@ class SiteRuntime:
                                         offs, present)
             self.pipe_state[gkey] = st
             group_out[gkey] = out
+        # One device→host fetch per CONSUMED group stream (each lazy
+        # per-source row materialization would pay its own device
+        # sync): digital groups with a control instance or digital
+        # recorder fetch (valid, dibits) whole; analog groups fetch
+        # (audio, power) only while an analog recorder is open.
+        inst_groups = set()
+        for i in self.instances:
+            if i.source_idx is not None and i.slot is not None:
+                ent = self._gmap.get((i.source_idx, i.cls))
+                if ent is not None:
+                    inst_groups.add(ent[0])
+        rec_streams = self.recorders.active_streams()
+        for gkey, out in group_out.items():
+            g = self.groups[gkey]
+            cls, srcs = g["cls"], g["srcs"]
+            if cls in _DIGITAL_CLASSES:
+                if gkey in inst_groups or any(
+                        (s, cls) in rec_streams for s in srcs):
+                    group_out[gkey] = (out[0], np.asarray(out[1]),
+                                       np.asarray(out[2]))
+            else:
+                if any((s, "analog") in rec_streams for s in srcs):
+                    group_out[gkey] = (np.asarray(out[0]),
+                                       np.asarray(out[1]))
         for src_idx in self.cfg.sources:
             if blocks[src_idx] is None:
                 continue

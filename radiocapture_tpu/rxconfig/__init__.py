@@ -80,6 +80,12 @@ class RcConfig:
     # TPU-native additions: slot-pool sizing for the batched pipelines.
     num_slots_per_source: int = 64
     block_seconds: float = 0.1    # streaming block length
+    # Batch same-rate sources into grouped vmapped pipeline steps
+    # (required to hold real time on TPU hosts — the tracking scans are
+    # latency-bound per call, PERF.md §12). CPU-only offline decode of
+    # multi-source configs may set False: with no MXU to underfeed the
+    # per-source form measured ~1.3x faster there.
+    group_sources: bool = True
     # Live-SDR blocks ship host->device as bfloat16 re/im (half the
     # float32 stream; PERF.md §6). Applied per source only where the
     # wire format makes it lossless (8-bit cu8/cs8, e.g. rtl_tcp) —
@@ -100,7 +106,7 @@ class RcConfig:
         for k in ("frontend_mode", "receiver_split2", "redis_servers",
                   "activemq", "site_uuid", "blacklists", "scan_mode",
                   "audio_dir", "num_slots_per_source", "block_seconds",
-                  "ingest_bf16"):
+                  "ingest_bf16", "group_sources"):
             if k in d:
                 setattr(cfg, k, d[k])
         return cfg

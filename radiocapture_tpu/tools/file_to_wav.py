@@ -56,7 +56,18 @@ def decode_analog(iq: np.ndarray, samp_rate: float, offset_hz: float = 0.0
         chunks.append(np.asarray(audio[0]))
     if not chunks:
         return np.zeros(0, np.float32)
-    return _resample_8k(np.concatenate(chunks), pipe.channel_fs)
+    y = _resample_8k(np.concatenate(chunks), pipe.channel_fs)
+    # voice band-pass at 8 kHz: the pipeline stopped band-passing per
+    # slot (it's per-call work — PERF.md §11, CallRecorder._to_8k does
+    # it in the capture path), so the offline chain applies the same
+    # 300 Hz HP + 3.4 kHz LP here (reference file_to_wav.py:106-122
+    # filters too: CTCSS/PL tones and discriminator DC must not reach
+    # the wav).
+    from radiocapture_tpu.ops import taps as _taps
+    lp = _taps.low_pass(1.0, float(AUDIO_RATE), 3400.0, 600.0)
+    hp = _taps.high_pass(1.0, float(AUDIO_RATE), 300.0, 200.0)
+    bp = np.convolve(lp, hp).astype(np.float32)
+    return np.convolve(y, bp, "same").astype(np.float32)
 
 
 def decode_p25(iq: np.ndarray, samp_rate: float, offset_hz: float = 0.0,

@@ -112,12 +112,27 @@ class _SoakSite:
         self.rt.close()
 
 
+def voice_capacity(n_sources: int, samp_rate: float,
+                   n_systems: int) -> int:
+    """Voice channels one runtime can carry (total channels minus the
+    control channels) — the single sizing rule shared by the harness
+    and the CLI auto-sizer."""
+    return int(n_sources * samp_rate / CHANNEL_HZ) - 2 * n_systems
+
+
 def run_soak(target_concurrency: int = 256, n_runtimes: int = 2,
-             n_sources: int = 2, samp_rate: float = 1.0e6,
+             n_sources: int | None = None, samp_rate: float = 1.0e6,
              n_systems: int = 2, audio_dir: str = "soak_audio",
              hold_blocks: int = 20, verbose: bool = False) -> dict:
-    """Run the soak; returns the metrics/invariants dict."""
+    """Run the soak; returns the metrics/invariants dict.
+    ``n_sources=None`` auto-sizes per-runtime sources to the target."""
     from radiocapture_tpu.control.resp import MiniRedisServer
+
+    if n_sources is None:
+        n_sources = 1
+        per_rt = -(-target_concurrency // n_runtimes)
+        while voice_capacity(n_sources, samp_rate, n_systems) < per_rt:
+            n_sources += 1
 
     srv = MiniRedisServer()
     servers = [{"host": srv.host, "port": srv.port}]
@@ -128,10 +143,11 @@ def run_soak(target_concurrency: int = 256, n_runtimes: int = 2,
         _SoakSite(r, n_sources, samp_rate, num_slots, n_systems,
                   servers, f"{audio_dir}/rt{r}", block_s)
         for r in range(n_runtimes)]
-    for s in sites:
-        if s.n_voice_channels < per_rt_target:
+    for site in sites:
+        if site.n_voice_channels < per_rt_target:
             raise ValueError(
-                f"capacity {s.n_voice_channels} < target {per_rt_target}")
+                f"capacity {site.n_voice_channels} < target "
+                f"{per_rt_target}")
 
     hang_blocks = int(5.0 / block_s) + 12   # P25 hang time + margin
     ramp_rate = max(1, per_rt_target // (n_systems * 12))
@@ -281,17 +297,8 @@ def main(argv=None):
     ap.add_argument("--audio-dir", default="/tmp/rc_soak_audio")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
-    # size the per-runtime source count so voice capacity covers the
-    # target (1 MHz source = 80 channels; a few go to control)
-    samp_rate, n_systems = 1.0e6, 2
-    per_rt = -(-args.target // args.runtimes)
-    n_sources = 1
-    while (int(n_sources * samp_rate / CHANNEL_HZ)
-           - 2 * n_systems) < per_rt:
-        n_sources += 1
     res = run_soak(target_concurrency=args.target,
-                   n_runtimes=args.runtimes, n_sources=n_sources,
-                   samp_rate=samp_rate, n_systems=n_systems,
+                   n_runtimes=args.runtimes,
                    audio_dir=args.audio_dir, verbose=args.verbose)
     print(json.dumps(res))
 
