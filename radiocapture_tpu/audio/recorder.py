@@ -174,12 +174,8 @@ class CallRecorder:
             self._resample_state = R.resampler_init(self._resample_taps,
                                                     interp)
             self._stage = np.zeros(0, np.float32)
-            from radiocapture_tpu.ops import taps as _taps
-            lp = _taps.low_pass(1.0, float(self.AUDIO_RATE), 3400.0,
-                                600.0)
-            hp = _taps.high_pass(1.0, float(self.AUDIO_RATE), 300.0,
-                                 200.0)
-            self._post_taps = np.convolve(lp, hp).astype(np.float32)
+            from radiocapture_tpu.ops.taps import voice_bandpass
+            self._post_taps = voice_bandpass(float(self.AUDIO_RATE))
             self._post_hist = np.zeros(len(self._post_taps) - 1,
                                        np.float32)
         # Chunk granularity: smallest L with L*interp % decim == 0.

@@ -165,3 +165,23 @@ def c4fm_shaping(samp_rate: float, symbol_rate: float = 4800.0,
     # Unit pulse peak: a lone +3 symbol reaches exactly 3x the deviation step.
     shaped /= shaped[(ntaps - 1) // 2]
     return shaped.astype(np.float32)
+
+
+def voice_bandpass(samp_rate: float) -> np.ndarray:
+    """The per-call voice band-pass: 300 Hz high-pass (reference
+    logging_receiver.py:215) convolved with a 3.4 kHz low-pass — ONE
+    definition shared by the live recorder (audio/recorder.py:_to_8k)
+    and offline decode (tools/file_to_wav.py) so the two paths cannot
+    drift. Cached per rate (recorders open per call, on the
+    grant→first-audio latency path)."""
+    key = float(samp_rate)
+    taps = _VOICE_BP_CACHE.get(key)
+    if taps is None:
+        lp = low_pass(1.0, key, 3400.0, 600.0)
+        hp = high_pass(1.0, key, 300.0, 200.0)
+        taps = np.convolve(lp, hp).astype(np.float32)
+        _VOICE_BP_CACHE[key] = taps
+    return taps
+
+
+_VOICE_BP_CACHE: dict = {}

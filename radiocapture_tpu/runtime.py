@@ -441,6 +441,14 @@ class SiteRuntime:
             if len({a.dtype for a in xs}) > 1:   # mixed wire dtypes
                 xs = [a.astype(np.float32) for a in xs]
             xb = np.stack(xs)
+            # Lock the group's input dtype at first use: a dtype that
+            # varied with which sources delivered (e.g. the lone f32
+            # source underruns in an otherwise-bf16 group) would change
+            # the jit signature and recompile the whole vmapped
+            # pipeline mid-capture.
+            want = g.setdefault("in_dtype", xb.dtype)
+            if xb.dtype != want:
+                xb = xb.astype(want)
             offs = np.stack([self.scheduler.offsets_norm(s)
                              for s in srcs])
             st, out = self._gstep[gkey](self.pipe_state[gkey], xb,
@@ -459,26 +467,33 @@ class SiteRuntime:
                 if ent is not None:
                     inst_groups.add(ent[0])
         rec_streams = self.recorders.active_streams()
+        fetched: dict[tuple, tuple] = {}
         for gkey, out in group_out.items():
             g = self.groups[gkey]
             cls, srcs = g["cls"], g["srcs"]
             if cls in _DIGITAL_CLASSES:
                 if gkey in inst_groups or any(
                         (s, cls) in rec_streams for s in srcs):
-                    group_out[gkey] = (out[0], np.asarray(out[1]),
-                                       np.asarray(out[2]))
+                    # syms (out[0]) has no per-block consumer — None
+                    # instead of a per-source device row slice
+                    fetched[gkey] = (None, np.asarray(out[1]),
+                                     np.asarray(out[2]))
             else:
                 if any((s, "analog") in rec_streams for s in srcs):
-                    group_out[gkey] = (np.asarray(out[0]),
-                                       np.asarray(out[1]))
+                    fetched[gkey] = (np.asarray(out[0]),
+                                     np.asarray(out[1]))
         for src_idx in self.cfg.sources:
             if blocks[src_idx] is None:
                 continue
+            # only fetched (consumed) groups fan out per source: row-
+            # slicing an unfetched jax array would dispatch a device op
+            # per source per output for data nobody reads
             outputs: dict[str, tuple] = {}
             for cls, gkey, row in self._by_src.get(src_idx, []):
-                out = group_out.get(gkey)
+                out = fetched.get(gkey)
                 if out is not None:
-                    outputs[cls] = tuple(o[row] for o in out)
+                    outputs[cls] = tuple(
+                        o[row] if o is not None else None for o in out)
             # control instances: fetch each consumed stream once per
             # block (per-slot jax row fetches cost a device sync each)
             cc_insts = [i for i in self.instances

@@ -63,10 +63,8 @@ def decode_analog(iq: np.ndarray, samp_rate: float, offset_hz: float = 0.0
     # 300 Hz HP + 3.4 kHz LP here (reference file_to_wav.py:106-122
     # filters too: CTCSS/PL tones and discriminator DC must not reach
     # the wav).
-    from radiocapture_tpu.ops import taps as _taps
-    lp = _taps.low_pass(1.0, float(AUDIO_RATE), 3400.0, 600.0)
-    hp = _taps.high_pass(1.0, float(AUDIO_RATE), 300.0, 200.0)
-    bp = np.convolve(lp, hp).astype(np.float32)
+    from radiocapture_tpu.ops.taps import voice_bandpass
+    bp = voice_bandpass(float(AUDIO_RATE))
     return np.convolve(y, bp, "same").astype(np.float32)
 
 

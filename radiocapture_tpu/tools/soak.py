@@ -128,16 +128,16 @@ def run_soak(target_concurrency: int = 256, n_runtimes: int = 2,
     ``n_sources=None`` auto-sizes per-runtime sources to the target."""
     from radiocapture_tpu.control.resp import MiniRedisServer
 
+    per_rt_target = -(-target_concurrency // n_runtimes)  # ceil
     if n_sources is None:
         n_sources = 1
-        per_rt = -(-target_concurrency // n_runtimes)
-        while voice_capacity(n_sources, samp_rate, n_systems) < per_rt:
+        while voice_capacity(n_sources, samp_rate,
+                             n_systems) < per_rt_target:
             n_sources += 1
 
     srv = MiniRedisServer()
     servers = [{"host": srv.host, "port": srv.port}]
     block_s = 0.1
-    per_rt_target = -(-target_concurrency // n_runtimes)  # ceil
     num_slots = max(8, -(-int(samp_rate / CHANNEL_HZ) // 1))
     sites = [
         _SoakSite(r, n_sources, samp_rate, num_slots, n_systems,

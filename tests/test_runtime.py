@@ -386,3 +386,70 @@ def test_example_live_config_loads_and_routes_source_types():
                                                "cf32")
     assert cfg.activemq["port"] == 61613
     assert len(cfg.redis_servers) == 2
+
+
+def test_grouped_step_freezes_state_of_absent_sources(tmp_path):
+    """Two same-rate sources share one grouped pipeline step; when one
+    source's provider returns None for a block, that source's pipeline
+    state rows must stay EXACTLY frozen (the old per-source loop simply
+    skipped it) while the other source's rows advance — the mask-revert
+    semantics inside SiteRuntime._make_group."""
+    import jax
+
+    cfg = RcConfig()
+    cfg.audio_dir = str(tmp_path / "audio")
+    cfg.num_slots_per_source = 8
+    cfg.block_seconds = 0.05
+    cfg.sources[0] = SourceConfig(type="file", center_freq=CENTER,
+                                  samp_rate=SAMP)
+    cfg.sources[1] = SourceConfig(type="file", center_freq=CENTER + SAMP,
+                                  samp_rate=SAMP)
+    cfg.systems[0] = SystemConfig(type="p25", id="G",
+                                  control_channels=[CC])
+    rng = np.random.default_rng(3)
+
+    starve = {"on": False}
+
+    def p0(n):
+        return rng.standard_normal(n).astype(np.float32).view() \
+            .astype(np.complex64)
+
+    def p1(n):
+        return None if starve["on"] else p0(n)
+
+    rt = SiteRuntime(cfg, {0: p0, 1: p1})
+    rt.use_stream_clock()
+    try:
+        # both sources in one c4fm group
+        g0, r0 = rt._gmap[(0, "c4fm")]
+        g1, r1 = rt._gmap[(1, "c4fm")]
+        assert g0 == g1 and {r0, r1} == {0, 1}
+        rt.step()
+        rt.step()
+        before = jax.tree.map(lambda a: np.asarray(a),
+                              rt.pipe_state[g0])
+        starve["on"] = True
+        rt.step()          # source 1 absent this block
+        after = jax.tree.map(lambda a: np.asarray(a),
+                             rt.pipe_state[g0])
+        changed_active, frozen_starved = False, True
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            if a.shape and a.shape[0] == 2:
+                # starved source's row identical, active source's not
+                frozen_starved &= bool(np.array_equal(a[r1], b[r1]))
+                if not np.array_equal(a[r0], b[r0]):
+                    changed_active = True
+        assert frozen_starved, "starved source's state advanced"
+        assert changed_active, "active source's state did not advance"
+        # recovery: data returns, the group keeps stepping both rows
+        starve["on"] = False
+        rt.step()
+        final = jax.tree.map(lambda a: np.asarray(a),
+                             rt.pipe_state[g0])
+        moved = any(not np.array_equal(a[r1], b[r1])
+                    for a, b in zip(jax.tree.leaves(after),
+                                    jax.tree.leaves(final))
+                    if a.shape and a.shape[0] == 2)
+        assert moved, "starved source did not resume"
+    finally:
+        rt.close()
